@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+The knobs mirror the reference's hand-coded constants (boost table
+/root/reference/core/similarity.go:13-19, bloom sizing :29, blocking key
+:658-668) but are explicit, documented, and scale-aware.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- tokenization ---
+    #: regex of one token; keeps digit runs and word runs intact
+    #: (analog of the reference's SimpleSegmenter,
+    #: /root/reference/segment/simple_segment.go:11-47)
+    token_pattern: str = r"[a-z0-9]+"
+    lowercase: bool = True
+    stopwords: tuple[str, ...] = ()
+    min_token_len: int = 1
+
+    # --- TF-IDF (documented math, not the reference's integer-division
+    # quirk at /root/reference/core/similarity.go:355 — see SURVEY §2.9) ---
+    #: idf = max(ln(N / (df + 1)), min_idf)
+    min_idf: float = 0.0
+    #: IDF assigned to tokens unseen at fit time
+    #: (reference MissingIdf, /root/reference/core/similarity.go:19)
+    missing_idf: float = 4.0
+    use_tf: bool = True  # reference uses idf-only weights (SURVEY §2.4 A6)
+
+    # --- blocking (inverted index) ---
+    #: tokens with document frequency above this never become blocking keys
+    #: (they carry ~no IDF signal and explode the posting self-join)
+    max_block_df: int = 200
+    #: tokens appearing in only one conversation generate no pairs
+    min_block_df: int = 2
+    #: posting lists longer than this are salted into ceil(df/salt_bucket)
+    #: sub-blocks to break hot-key skew in the pair join
+    salt_bucket: int = 50
+    #: per-conversation cap on blocking tokens (rarest-first), bounding the
+    #: candidate-pair budget per record
+    max_block_tokens_per_conv: int = 24
+
+    # --- scoring ---
+    #: accept pair outright when cosine >= tau_hi
+    tau_hi: float = 0.82
+    #: reject pair outright when cosine < tau_lo
+    tau_lo: float = 0.60
+    #: borderline band [tau_lo, tau_hi) is tie-broken by Jaro-Winkler
+    #: over canonical text prefixes (north rule)
+    jw_threshold: float = 0.90
+    #: JW is O(len^2); compare only this many leading characters
+    jw_prefix_chars: int = 512
+
+    # --- clustering ---
+    max_cc_iterations: int = 20
+
+    # --- runtime ---
+    shuffle_partitions: int = 32
+    #: repartition width for the pair-scoring stage; scale with cluster size
+    score_partitions: int | None = None
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+    run_id: str = "run0"
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,96 @@
+"""Stage 5/6 — blocking: inverted index → candidate pairs.
+
+The reference blocks by administrative region: ``buildCacheKey`` =
+"province-city(-district)" (/root/reference/core/similarity.go:658-668) and
+partition-pruned scans LoadAddrsPC/PCD (/root/reference/models/persister.go:
+100-121), then scores the query against EVERY record in the block (an
+O(N·Q) nested loop, /root/reference/core/similarity.go:74-79).
+
+Here blocking is a DataFrame-materialized inverted index — posting lists
+token → conv_id — and candidate generation is a posting-list self-join
+(`a.conv_id < b.conv_id` triangular pruning), the standard distributed
+sparse-similarity design. Three explicit skew/scale controls (north rule):
+
+1. **df cap** — tokens with df > max_block_df never block (they carry ~zero
+   IDF and would quadratically explode the join). Tokens with df < 2
+   cannot produce a pair.
+2. **per-conversation token budget** — each conversation blocks on at most
+   its K rarest tokens, bounding per-record pair fan-out.
+3. **salting** — posting lists longer than salt_bucket are split into
+   ceil(df/salt_bucket) random sub-blocks; pairs are generated within a
+   sub-block. This trades a small recall loss on mid-frequency tokens for
+   a hard bound (salt_bucket²/2) on the per-key join fan-out — at 10^12
+   turns an unsalted 10^6-long posting list would emit 5·10^11 pairs from
+   one key. Duplicate records share many rare tokens, so pair recall
+   survives (verified by the F1 gate).
+
+AQE skew-join splitting remains enabled as the runtime backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import PipelineConfig
+
+
+def postings(
+    tokens: DataFrame,
+    idf: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """(token, conv_id, df) — the inverted index, restricted to blockable
+    tokens (min_block_df ≤ df ≤ max_block_df), at most
+    max_block_tokens_per_conv rarest tokens per conversation."""
+    cfg = cfg or PipelineConfig()
+    blockable = idf.filter(
+        (F.col("df") >= cfg.min_block_df) & (F.col("df") <= cfg.max_block_df)
+    ).select("token", "df")
+    post = (
+        tokens.select("conv_id", "token")
+        .distinct()
+        .join(F.broadcast(blockable), "token")
+    )
+    if cfg.max_block_tokens_per_conv:
+        w = Window.partitionBy("conv_id").orderBy(F.asc("df"), F.asc("token"))
+        post = (
+            post.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cfg.max_block_tokens_per_conv)
+            .drop("rk")
+        )
+    return post
+
+
+def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """(conv_id_a, conv_id_b) distinct, a < b.
+
+    Hot posting lists are salted: block key becomes (token, salt) with
+    salt = pmod(xxhash64(conv_id), ceil(df / salt_bucket)) — deterministic
+    per conv_id so both members of a sub-block agree on the key.
+    """
+    cfg = cfg or PipelineConfig()
+    n_salts = F.greatest(
+        F.ceil(F.col("df") / F.lit(cfg.salt_bucket)).cast("int"), F.lit(1)
+    )
+    salted = post.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id"), n_salts).cast("int")
+    ).select("token", "salt", "conv_id")
+
+    a = salted.alias("a")
+    b = salted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.token") == F.col("b.token"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.conv_id") < F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,137 @@
+"""Stage 7 — pairwise scoring: cosine over TF-IDF maps + Jaro-Winkler.
+
+Analog of the reference's ``computeDocSimilarity``
+(/root/reference/core/similarity.go:432-549): accumulate ΣqW·dW, ΣqW², ΣdW²
+over matched terms and take cosine = sumQD/√(sumQQ·sumDD) (:540). There it
+is a per-pair Go loop with a lazy TermsMap hash probe
+(/root/reference/models/document.go:26-39); here the whole computation is a
+single JVM expression — ``map_zip_with`` merges the two token→weight maps
+and ``aggregate`` folds the products — inside whole-stage codegen. No
+Python touches the hot path; norms were precomputed in the vectors stage so
+score(x, x) = 1 exactly (the reference's own README admits its scores
+don't reach 1.0 on identical strings, README.md:141-142 — a quirk we fix,
+SURVEY §2.9).
+
+Jaro-Winkler (the north rule's tie-break) runs as an Arrow-batched pandas
+UDF on ONLY the borderline band tau_lo ≤ cos < tau_hi — at well-separated
+thresholds that band is a small fraction of pairs, so the O(len²) Python
+cost is off the critical path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from ..functions.jaro_winkler import make_jw_udf
+
+
+def cosine_expr(va, vb, norm_a, norm_b):
+    """Column: cosine similarity of two map<string,double> TF-IDF vectors."""
+    prods = F.map_zip_with(
+        va, vb, lambda _, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0))
+    )
+    dot = F.aggregate(F.map_values(prods), F.lit(0.0), lambda acc, v: acc + v)
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def score_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    conversations: DataFrame | None = None,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """(conv_id_a, conv_id_b, cosine[, jw], is_match).
+
+    Joins the candidate pairs with the per-conversation vector table twice
+    (equi-joins on conv_id — sized by |pairs|, AQE picks the strategy), then
+    evaluates cosine JVM-side. If ``conversations`` is given, borderline
+    pairs additionally fetch canonical_text and get a Jaro-Winkler score.
+
+    The scoring stage is repartitioned explicitly when
+    cfg.score_partitions is set (north rule: explicit repartitioning) —
+    otherwise AQE's coalescing decides.
+    """
+    cfg = cfg or PipelineConfig()
+    va = vectors.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = vectors.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    scored = pairs
+    if cfg.score_partitions:
+        scored = scored.repartition(cfg.score_partitions, "conv_id_a")
+    scored = (
+        scored.join(va, "conv_id_a")
+        .join(vb, "conv_id_b")
+        .withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
+            ),
+        )
+        .drop("vec_a", "vec_b", "norm_a", "norm_b")
+        .filter(F.col("cosine") >= cfg.tau_lo)
+    )
+
+    if conversations is None:
+        return scored.withColumn("is_match", F.col("cosine") >= cfg.tau_hi)
+
+    # Jaro-Winkler tie-break for the borderline band only.
+    jw_udf = make_jw_udf(cfg.jw_prefix_chars)
+    texts_a = conversations.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("canonical_text").alias("text_a")
+    )
+    texts_b = conversations.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("canonical_text").alias("text_b")
+    )
+    borderline = scored.filter(F.col("cosine") < cfg.tau_hi)
+    confident = scored.filter(F.col("cosine") >= cfg.tau_hi).withColumn(
+        "jw", F.lit(None).cast("double")
+    )
+    borderline = (
+        borderline.join(texts_a, "conv_id_a")
+        .join(texts_b, "conv_id_b")
+        .withColumn("jw", jw_udf("text_a", "text_b"))
+        .drop("text_a", "text_b")
+    )
+    scored_all = confident.unionByName(borderline)
+    return scored_all.withColumn(
+        "is_match",
+        (F.col("cosine") >= cfg.tau_hi)
+        | ((F.col("cosine") >= cfg.tau_lo) & (F.col("jw") >= cfg.jw_threshold)),
+    )
+
+
+def top_k_matches(scored: DataFrame, k: int = 1) -> DataFrame:
+    """Reference semantics: greedy top-N similar docs per query
+    (``Query.AddSimiDoc`` /root/reference/models/query.go:12-33, descending
+    sort :88-106). Emits both directions so every conversation gets its
+    best neighbors; Spark prunes with WindowGroupLimit.
+
+    Output: (conv_id, match_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    sym = scored.select(
+        F.col("conv_id_a").alias("conv_id"),
+        F.col("conv_id_b").alias("match_id"),
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("conv_id_b").alias("conv_id"),
+            F.col("conv_id_a").alias("match_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,105 @@
+"""The end-to-end record-linkage pipeline (SURVEY.md §7 architecture).
+
+transcripts → canonicalize → exact-dedup → tokenize → IDF (broadcast)
+→ postings (df-cap + salt) → candidate pairs → cosine + JW scoring
+→ match edges (∪ exact-dup edges) → connected components → clusters.
+
+Equivalent reference lifecycle: ``FindsimilarAddress``
+(/root/reference/core/similarity.go:49-85) — guard, Bloom dup check,
+Interpret, analyze, full-corpus score loop, top-N — except the full-corpus
+O(N·Q) loop becomes one distributed dataflow over ALL records at once and
+greedy top-N becomes transitive clustering.
+
+Only representatives of exact-duplicate groups are tokenized/scored (the
+reference's Bloom fast path, generalized): at 10^12 turns with heavy exact
+duplication this cuts the quadratic stage's input before anything
+expensive runs. Exact-dup edges re-enter at the clustering stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from ..functions.tokenize import explode_tokens
+from ..operators.blocking import candidate_pairs, postings
+from ..operators.canonicalize import canonicalize
+from ..operators.clustering import assign_entities, connected_components
+from ..operators.dedup import dedup_exact, exact_dup_edges
+from ..operators.scoring import score_pairs, top_k_matches
+from ..operators.tfidf import idf_table, tfidf_vectors
+
+
+@dataclass
+class PipelineResult:
+    conversations: DataFrame
+    representatives: DataFrame
+    idf: DataFrame
+    vectors: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    checkpointer=None,
+) -> PipelineResult:
+    """Run every stage; returns all intermediate DataFrames (lazy — nothing
+    executes until an action, except the CC driver loop).
+
+    ``checkpointer`` (sources.checkpoint.Checkpointer) makes each stage
+    durable + resumable; None keeps the whole thing one in-memory DAG.
+    """
+    cfg = cfg or PipelineConfig()
+
+    def ckpt(name: str, df: DataFrame) -> DataFrame:
+        return checkpointer.stage(name, df) if checkpointer else df
+
+    conversations = ckpt("conversations", canonicalize(transcripts))
+    reps = ckpt("representatives", dedup_exact(conversations))
+    dup_edges = exact_dup_edges(conversations)
+
+    tokens = explode_tokens(reps, cfg)
+    n_docs = reps.count()
+    idf = ckpt("idf", idf_table(tokens, n_docs, cfg))
+    vectors = ckpt("vectors", tfidf_vectors(tokens, idf, cfg))
+
+    post = postings(tokens, idf, cfg)
+    pairs = ckpt("candidate_pairs", candidate_pairs(post, cfg))
+    scored = ckpt("scored_pairs", score_pairs(pairs, vectors, reps, cfg))
+
+    match_edges = scored.filter(F.col("is_match")).select("conv_id_a", "conv_id_b")
+    edges = ckpt("edges", match_edges.unionByName(dup_edges))
+
+    components = connected_components(edges, cfg=cfg)
+    clusters = ckpt("clusters", assign_entities(conversations, components))
+
+    return PipelineResult(
+        conversations=conversations,
+        representatives=reps,
+        idf=idf,
+        vectors=vectors,
+        pairs=pairs,
+        scored=scored,
+        edges=edges,
+        clusters=clusters,
+        metrics={"n_docs": n_docs},
+    )
+
+
+def find_similar(
+    transcripts: DataFrame, cfg: PipelineConfig | None = None, top_n: int = 5
+) -> DataFrame:
+    """Reference flagship semantics (``FindsimilarAddress``,
+    /root/reference/core/similarity.go:49-85) for EVERY conversation at
+    once: top-N most-similar neighbors, descending score.
+
+    Output: (conv_id, match_id, cosine, rank)."""
+    result = run_pipeline(transcripts, cfg)
+    return top_k_matches(result.scored, k=top_n)

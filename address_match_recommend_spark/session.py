@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for the record-linkage workload.
+
+Local mode is the sandbox proxy for a multi-executor cluster: ``cores``
+maps to executor slots (the scaling-efficiency evidence runs the same job
+at local[8] and local[32]). On a real cluster the same builder is used by
+``spark-submit --py-files`` with master/memory supplied externally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "address_match_recommend_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    AQE is on (runtime partition coalescing + skew-join splitting), Arrow is
+    on (all pandas UDFs cross the JVM/Python boundary in columnar batches),
+    and the session timezone is pinned to UTC so results compare cleanly
+    against DuckDB oracles.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # At 100 TB the scan parallelism is governed by file splits:
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used between scaling-benchmark runs)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # Clear the JVM-level default session so a fresh master takes effect.
+    SparkSession.builder._options = {}  # type: ignore[attr-defined]

