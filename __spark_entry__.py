@@ -1,38 +1,669 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship shingle-blocked TF-IDF top-1-similar
+query (the reference's ``FindsimilarAddress`` semantics,
+/root/reference/core/similarity.go:49-85) over sf0.001 documents.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Float-valued outputs are emitted as integer-scaled columns
+(``*_e4``/``*_e6`` = value·10^4/10^6 rounded to bigint) so the driver's
+value hash is immune to last-bit float formatting differences between
+engines; ordering ties are always broken by an id column in BOTH engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from address_match_recommend_spark.config import PipelineConfig
+from address_match_recommend_spark.functions import text_stats as TS
+from address_match_recommend_spark.functions.tokenize import explode_tokens, tokenize_col
+from address_match_recommend_spark.operators.blocking import candidate_pairs, postings
+from address_match_recommend_spark.operators.canonicalize import canonicalize
+from address_match_recommend_spark.operators.neardup import (
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_ngrams,
+)
+from address_match_recommend_spark.operators.scoring import score_pairs
+from address_match_recommend_spark.operators.tfidf import (
+    document_frequency,
+    idf_table,
+    tfidf_vectors,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TOKEN_RE = r"[a-z0-9]+"
+#: DuckDB fragment producing the identical token list
+SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+#: DuckDB fragment: distinct 3-gram shingles of `toks`
+SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(toks)-1, 1)), "
+    "i -> array_to_string(toks[i:i+2], '_'))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.col("text").alias("canonical_text")
+    )
+
+
+def _e(col, scale: int):
+    """value·10^scale rounded to bigint — float-hash-proof output."""
+    return F.round(col * F.lit(10**scale)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# flagship: shingle-blocked TF-IDF top-1 similar (reference FindsimilarAddress)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_pairs(conv: DataFrame, min_df: int = 2, max_df: int = 50) -> DataFrame:
+    sh = conv.select(
+        "conv_id",
+        F.explode(word_ngrams(F.col("canonical_text"), 3)).alias("shingle"),
+    )
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    post = sh.join(
+        F.broadcast(sdf.filter((F.col("sdf") >= min_df) & (F.col("sdf") <= max_df))),
+        "shingle",
+    )
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.conv_id") < F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+
+
+def q_tfidf_top1_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _docs_as_conversations(spark, sf_dir)
+    tokens = explode_tokens(conv)
+    n_docs = conv.count()
+    idf = idf_table(tokens, n_docs)
+    vectors = tfidf_vectors(tokens, idf)
+    pairs = _shingle_pairs(conv)
+    cfg = PipelineConfig(tau_lo=0.0)
+    scored = score_pairs(pairs, vectors, None, cfg).select(
+        "conv_id_a", "conv_id_b", _e(F.col("cosine"), 4).alias("score_e4")
+    )
+    sym = scored.select(
+        F.col("conv_id_a").alias("doc_id"),
+        F.col("conv_id_b").alias("match_id"),
+        "score_e4",
+    ).unionByName(
+        scored.select(
+            F.col("conv_id_b").alias("doc_id"),
+            F.col("conv_id_a").alias("match_id"),
+            "score_e4",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e4"), F.asc("match_id"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "match_id", "score_e4")
+    )
+
+
+SQL_TFIDF_TOP1 = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tokx AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM tokx GROUP BY 1, 2),
+dlen AS (SELECT doc_id, sum(c) AS dl FROM cnt GROUP BY 1),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tokx GROUP BY 1),
+w AS (
+  SELECT c.doc_id, c.token,
+         (c.c / dlen.dl) *
+         greatest(ln((SELECT count(*) FROM documents) / (dft.df + 1.0)), 0.0) AS w
+  FROM cnt c JOIN dlen USING (doc_id) JOIN dft USING (token)
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
+sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+post AS (SELECT s.shingle, s.doc_id FROM sh s JOIN sdf USING (shingle)
+         WHERE sdf.df BETWEEN 2 AND 50),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+dots AS (SELECT p.a, p.b, sum(wa.w * wb.w) AS dot
+         FROM pairs p
+         JOIN w wa ON wa.doc_id = p.a
+         JOIN w wb ON wb.doc_id = p.b AND wb.token = wa.token
+         GROUP BY 1, 2),
+cos AS (SELECT a, b, CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS score_e4
+        FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b),
+sym AS (SELECT a AS doc_id, b AS match_id, score_e4 FROM cos
+        UNION ALL SELECT b, a, score_e4 FROM cos),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_e4 DESC, match_id) AS rn
+           FROM sym)
+SELECT doc_id, match_id, score_e4 FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonicalization (window-ordered concat) over events — SURVEY §2.5
+# ---------------------------------------------------------------------------
+
+
+def q_canonicalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit("").alias("tool"),
+        "ts",
+    )
+    return canonicalize(transcripts).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "canonical_text",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "text_hash",
+    )
+
+
+SQL_CANONICALIZE_EVENTS = """
+SELECT user_id,
+       string_agg(event_type, chr(10) ORDER BY ts, event_id) AS canonical_text,
+       count(*) AS n_turns,
+       sha256(string_agg(event_type, chr(10) ORDER BY ts, event_id)) AS text_hash
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (Bloom-path analog, F1) on documents
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT sha256(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# document frequency + IDF (A1/A2)
+# ---------------------------------------------------------------------------
+
+
+def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = explode_tokens(_docs_as_conversations(spark, sf_dir))
+    return document_frequency(tokens)
+
+
+SQL_TOKEN_DF = f"""
+SELECT token, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _docs_as_conversations(spark, sf_dir)
+    tokens = explode_tokens(conv)
+    idf = idf_table(tokens, conv.count())
+    return idf.select("token", "df", _e(F.col("idf"), 6).alias("idf_e6"))
+
+
+SQL_IDF = f"""
+WITH dft AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents) GROUP BY token
+)
+SELECT token, df,
+       CAST(round(greatest(ln((SELECT count(*) FROM documents) / (df + 1.0)), 0.0)
+                  * 1000000) AS BIGINT) AS idf_e6
+FROM dft
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-blocked candidate pairs (J1, unsalted for oracle determinism)
+# ---------------------------------------------------------------------------
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _docs_as_conversations(spark, sf_dir)
+    tokens = explode_tokens(conv)
+    idf = idf_table(tokens, conv.count())
+    cfg = PipelineConfig(
+        min_block_df=2,
+        max_block_df=100,
+        salt_bucket=10**9,  # one salt bucket → deterministic, SQL-equivalent
+        max_block_tokens_per_conv=0,  # no budget → pure df-range blocking
+    )
+    return candidate_pairs(postings(tokens, idf, cfg), cfg).select(
+        F.col("conv_id_a").alias("doc_id_a"), F.col("conv_id_b").alias("doc_id_b")
+    )
+
+
+SQL_CANDIDATE_PAIRS = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+dft AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+post AS (SELECT t.token, t.doc_id FROM tok t JOIN dft USING (token)
+         WHERE df BETWEEN 2 AND 100)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM post a JOIN post b ON a.token = b.token AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, shingle-df-capped)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, max_shingle_df=50)
+    return pairs.select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        _e(F.col("jaccard"), 4).alias("jaccard_e4"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct({SQL_SHINGLES}) AS shingles FROM tok),
+sh AS (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM shl),
+sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY 1),
+usable AS (SELECT s.* FROM sh s JOIN sdf USING (shingle) WHERE sdf <= 50),
+common AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.n_shingles AS na, b.n_shingles AS nb, count(*) AS c
+           FROM usable a JOIN usable b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+SELECT doc_id_a, doc_id_b,
+       CAST(round(c / (na + nb - c) * 10000) AS BIGINT) AS jaccard_e4
+FROM common
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_match_recommend_spark.operators.ann import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .withColumn("score_e4", _e(cosine_sim(F.col("qvec"), F.col("cvec")), 4))
+        .select("query_id", "match_id", "score_e4")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e4"), F.asc("match_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "match_id", "score_e4")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         CAST(round(list_cosine_similarity(q.embedding, c.embedding) * 10000)
+              AS BIGINT) AS score_e4
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_e4 DESC, match_id) AS rn
+           FROM scored)
+SELECT query_id, match_id, score_e4 FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts, quality, lang-id, fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({SQL_TOKS}) AS n_tokens,
+       CAST(list_sum(list_transform({SQL_TOKS},
+            t -> CASE WHEN len(t) <= 4 THEN 1
+                      ELSE CAST(ceil(len(t) / 4.0) AS INT) END)) AS BIGINT)
+         AS n_bpe_ish
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _e(TS.punct_ratio(F.col("text")), 6).alias("punct_e6"),
+        _e(TS.stopword_ratio(F.col("text"), "en"), 6).alias("stopword_e6"),
+        _e(TS.mean_token_len(F.col("text")), 6).alias("mean_len_e6"),
+        _e(TS.quality_score(F.col("text")), 6).alias("quality_e6"),
+    )
+
+
+_EN_STOPS = "['the','and','of','to','a','in','is','that','it','for']"
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_clean
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - n_clean) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOPS}, t)))
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS mlen,
+         len(toks) AS n_toks
+  FROM base
+)
+SELECT doc_id,
+       CAST(round(punct * 1000000) AS BIGINT) AS punct_e6,
+       CAST(round(stopr * 1000000) AS BIGINT) AS stopword_e6,
+       CAST(round(mlen * 1000000) AS BIGINT) AS mean_len_e6,
+       CAST(round((0.4 * least(n_toks / 64.0, 1.0)
+                 + 0.3 * (1.0 - least(punct * 4.0, 1.0))
+                 + 0.3 * (1.0 - least(abs(mlen - 5.0) / 5.0, 1.0)))
+                  * 1000000) AS BIGINT) AS quality_e6
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({SQL_TOKS}, t -> list_contains([{words}], t)))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH counts AS (
+  SELECT doc_id,
+         {_sql_stop_count('en')} AS n_en,
+         {_sql_stop_count('de')} AS n_de,
+         {_sql_stop_count('fr')} AS n_fr,
+         {_sql_stop_count('es')} AS n_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+            WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+            WHEN n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es'
+            WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM counts
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TS.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators on the TPC-H-ish tables (S/F/J/A/T coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1997-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _e(F.sum("l_quantity"), 2).alias("sum_qty_e2"),
+            _e(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue_e2"
+            ),
+            _e(F.avg("l_discount"), 6).alias("avg_disc_e6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_PRUNED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2,
+       CAST(round(avg(l_discount) * 1000000) AS BIGINT) AS avg_disc_e6,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _e(F.sum("o_totalprice"), 2).alias("revenue_e2"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT n_name,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_e2,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(_e(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue_e2"))
+        .orderBy(F.desc("revenue_e2"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(F.col("doc_id") == 42).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+SQL_POINT_LOOKUP = "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, text_col="text", id_col="doc_id", n_hashes=32)
+    pairs = minhash_lsh_pairs(sigs, n_hashes=32, bands=8)
+    return minhash_jaccard_estimate(sigs, pairs, 32).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        _e(F.col("est_jaccard"), 4).alias("est_jaccard_e4"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, text_col="text", id_col="doc_id")
+    return simhash_pairs(sigs, max_hamming=16).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "hamming",
+    )
+
+
+def q_er_pipeline_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full record-linkage pipeline on the deterministic synthetic
+    transcript corpus (FIXTURES.md) — clusters output. Not SQL-expressible
+    (iterative connected components)."""
+    from address_match_recommend_spark.datagen import corpus_to_spark, generate_corpus
+    from address_match_recommend_spark.plans.pipeline import run_pipeline
+
+    tables = corpus_to_spark(spark, generate_corpus(n_entities=40, seed=99))
+    return run_pipeline(tables["transcripts"]).clusters
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tfidf_top1_similar(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tfidf_top1_similar": q_tfidf_top1_similar,
+        "canonicalize_events": q_canonicalize_events,
+        "exact_dedup": q_exact_dedup,
+        "token_df": q_token_df,
+        "idf": q_idf,
+        "candidate_pairs": q_candidate_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "pruned_agg": q_pruned_agg,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "topk_orders": q_topk_orders,
+        "point_lookup": q_point_lookup,
+        "sessionize_events": q_sessionize_events,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "er_pipeline_synthetic": q_er_pipeline_synthetic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tfidf_top1_similar": SQL_TFIDF_TOP1,
+        "canonicalize_events": SQL_CANONICALIZE_EVENTS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "token_df": SQL_TOKEN_DF,
+        "idf": SQL_IDF,
+        "candidate_pairs": SQL_CANDIDATE_PAIRS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "pruned_agg": SQL_PRUNED_AGG,
+        "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "point_lookup": SQL_POINT_LOOKUP,
+        "sessionize_events": SQL_SESSIONIZE,
+        # minhash_lsh / simhash / er_pipeline_synthetic: hash-family and
+        # iteration not expressible in ANSI SQL → rows-only check
+    }

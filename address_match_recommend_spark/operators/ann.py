@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale ladder:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; dot products via ``zip_with``+``aggregate``
+  (JVM-side, codegen). The baseline and the oracle-checkable path.
+- ``lsh_topk`` — random-hyperplane LSH (Charikar): sign-bit signatures
+  against a fixed seeded hyperplane matrix, candidates from band-equality
+  buckets, exact cosine re-rank within buckets. The 100 TB path: the
+  quadratic step is confined to buckets exactly like token blocking.
+
+Hyperplanes are generated driver-side from a seeded numpy RNG and shipped
+as literal arrays — deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_sim(a, b):
+    """Column: cosine between two array<float/double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, match_id, cosine, rank) — exact top-k by cosine.
+
+    ``queries`` is broadcast (the expected shape: few queries × huge
+    corpus), so the scan parallelizes over corpus partitions with no
+    shuffle until the final per-query top-k (WindowGroupLimit prunes
+    map-side)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", cosine_sim(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "match_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Column: array<int> of sign bits (one per hyperplane)."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates = same (band, band-signature) bucket,
+    exact cosine re-rank inside. Recall rises with bands (OR-construction).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+
+    def with_buckets(df: DataFrame, role: str) -> DataFrame:
+        sig = lsh_signature(F.col(vec_col), planes)
+        bandcols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "",
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(bandcols).alias("bb"),
+        ).select(
+            f"{role}_id", f"{role}_vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    qb = with_buckets(queries, "query")
+    cb = with_buckets(corpus, "match")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "query_vec", "match_id", "match_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_sim(F.col("query_vec"), F.col("match_vec"))
+    ).select("query_id", "match_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b, cosine ≥ threshold) — embedding-cosine near-dup pairs
+    via LSH self-bucketing (no broadcast: corpus × corpus within buckets)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    sig = lsh_signature(F.col(vec_col), planes)
+    bandcols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "",
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(bandcols).alias("bb")
+    ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -40,6 +40,7 @@ class PipelineResult:
     vectors: DataFrame
     pairs: DataFrame
     scored: DataFrame
+    dup_edges: DataFrame
     edges: DataFrame
     clusters: DataFrame
     metrics: dict = field(default_factory=dict)
@@ -87,6 +88,7 @@ def run_pipeline(
         vectors=vectors,
         pairs=pairs,
         scored=scored,
+        dup_edges=dup_edges,
         edges=edges,
         clusters=clusters,
         metrics={"n_docs": n_docs},
@@ -100,6 +102,17 @@ def find_similar(
     /root/reference/core/similarity.go:49-85) for EVERY conversation at
     once: top-N most-similar neighbors, descending score.
 
-    Output: (conv_id, match_id, cosine, rank)."""
+    Output: (conv_id, match_id, cosine, rank).
+
+    Exact duplicates never reach the scorer (the Bloom fast path,
+    generalized), so their edges re-enter here at cosine 1.0 — the
+    reference likewise answers "exact duplicate exists" without scoring
+    (/root/reference/core/similarity.go:55-61)."""
     result = run_pipeline(transcripts, cfg)
-    return top_k_matches(result.scored, k=top_n)
+    dup_scored = result.dup_edges.select(
+        "conv_id_a", "conv_id_b", F.lit(1.0).alias("cosine")
+    )
+    scored = result.scored.select("conv_id_a", "conv_id_b", "cosine").unionByName(
+        dup_scored
+    )
+    return top_k_matches(scored, k=top_n)

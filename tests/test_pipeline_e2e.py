@@ -56,6 +56,13 @@ def test_find_similar_reference_semantics(spark, tiny_tables):
         scores = g.sort_values("rank")["cosine"].tolist()
         assert scores == sorted(scores, reverse=True)
     assert rows >= 0
+    # exact duplicates surface as cosine-1.0 top matches (the reference's
+    # Bloom "exists" answer, /root/reference/core/similarity.go:55-61)
+    golden = tiny_tables["golden_canonical"].toPandas()
+    dup_hash = golden[golden["text_hash"].duplicated(keep=False)]
+    a_conv = dup_hash.sort_values("conv_id").iloc[0]["conv_id"]
+    best = pdf[(pdf["conv_id"] == a_conv) & (pdf["rank"] == 1)].iloc[0]
+    assert best["cosine"] == pytest.approx(1.0)
 
 
 def test_exact_dups_clustered_without_scoring(spark, tiny_tables):
