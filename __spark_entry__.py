@@ -75,7 +75,7 @@ def _shingle_pairs(conv: DataFrame, min_df: int = 2, max_df: int = 50) -> DataFr
     sh = conv.select(
         "conv_id",
         F.explode(word_ngrams(F.col("canonical_text"), 3)).alias("shingle"),
-    )
+    ).persist()  # read by the df-count agg AND both self-join sides
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     post = sh.join(
         F.broadcast(sdf.filter((F.col("sdf") >= min_df) & (F.col("sdf") <= max_df))),
@@ -100,10 +100,10 @@ def _shingle_pairs(conv: DataFrame, min_df: int = 2, max_df: int = 50) -> DataFr
 
 def q_tfidf_top1_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = _docs_as_conversations(spark, sf_dir)
-    tokens = explode_tokens(conv)
+    tokens = explode_tokens(conv).persist()  # feeds df/idf agg AND vectors
     n_docs = conv.count()
     idf = idf_table(tokens, n_docs)
-    vectors = tfidf_vectors(tokens, idf)
+    vectors = tfidf_vectors(tokens, idf).persist()  # joined as both pair sides
     pairs = _shingle_pairs(conv)
     cfg = PipelineConfig(tau_lo=0.0)
     scored = score_pairs(pairs, vectors, None, cfg).select(

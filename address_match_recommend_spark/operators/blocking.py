@@ -72,9 +72,12 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     n_salts = F.greatest(
         F.ceil(F.col("df") / F.lit(cfg.salt_bucket)).cast("int"), F.lit(1)
     )
-    salted = post.withColumn(
-        "salt", F.pmod(F.xxhash64("conv_id"), n_salts).cast("int")
-    ).select("token", "salt", "conv_id")
+    salted = (
+        post.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_salts).cast("int"))
+        .select("token", "salt", "conv_id")
+        .persist()  # both sides of the self-join read this; without it each
+        # side re-runs the postings plan (tokenize + distinct + window)
+    )
 
     a = salted.alias("a")
     b = salted.alias("b")

@@ -58,9 +58,13 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
         )
-    buckets = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = (
+        signatures.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .persist()  # both sides of the self-join read this
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -139,7 +143,9 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    ).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    ).persist()  # both sides of the self-join read this
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -167,11 +173,22 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def word_ngrams(text: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
-    toks = tokenize_col(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    """Distinct word n-gram shingles of a text column (JVM-side).
+
+    The token array is let-bound as a lambda variable (wrapped in a
+    1-element array + ``transform``) so the tokenizer expression is
+    evaluated ONCE per row — inlining it into the per-index lambda would
+    re-run ``regexp_extract_all`` for every shingle position (measured 4×
+    slower on sf0.01 documents)."""
+
+    def ngrams_of(t: F.Column) -> F.Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), "_"))
+
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), "_"))
+        F.flatten(F.transform(F.array(tokenize_col(text)), ngrams_of))
     )
 
 
@@ -186,15 +203,25 @@ def ngram_jaccard_pairs(
     """(id_a, id_b, jaccard) — exact n-gram Jaccard for every pair sharing
     a non-hot shingle. Shingle df cap plays the same anti-skew role as the
     blocking df cap."""
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        F.size(word_ngrams(F.col(text_col), n)).alias("n_shingles"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    shingles = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_ngrams(F.col(text_col), n).alias("shingles"),
+        )
+        .select(
+            "id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode("shingles").alias("shingle"),
+        )
     )
     df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # materialized: referenced by BOTH sides of the self-join below — without
+    # persist each side re-executes the whole shingle scan (self-joins never
+    # share an unmaterialized upstream). At pipeline scale this table is
+    # checkpointed instead (sources/checkpoint.py); persist spills to disk.
     usable = shingles.join(
         F.broadcast(df_counts.filter(F.col("sdf") <= max_shingle_df)), "shingle"
-    )
+    ).persist()
     a, b = usable.alias("a"), usable.alias("b")
     common = (
         a.join(

@@ -59,27 +59,48 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
 
-    def ckpt(name: str, df: DataFrame) -> DataFrame:
-        return checkpointer.stage(name, df) if checkpointer else df
+    def ckpt(name: str, thunk) -> DataFrame:
+        """Durable stage when a checkpointer is given; a completed stage is
+        read back without building (or, for the eager CC loop, running)
+        its plan at all. Without a checkpointer, stages are persisted in
+        memory/disk instead — every stage output here is read by ≥2
+        downstream consumers (or both sides of a self-join), and an
+        unmaterialized fan-out re-executes the whole upstream plan per
+        consumer."""
+        if checkpointer is None:
+            return thunk().persist()
+        if checkpointer.is_complete(name):
+            return checkpointer.stage(name, None)
+        return checkpointer.stage(name, thunk())
 
-    conversations = ckpt("conversations", canonicalize(transcripts))
-    reps = ckpt("representatives", dedup_exact(conversations))
+    conversations = ckpt("conversations", lambda: canonicalize(transcripts))
+    reps = ckpt("representatives", lambda: dedup_exact(conversations))
     dup_edges = exact_dup_edges(conversations)
 
     tokens = explode_tokens(reps, cfg)
+    if checkpointer is None:
+        tokens = tokens.persist()  # feeds idf, vectors, and postings
     n_docs = reps.count()
-    idf = ckpt("idf", idf_table(tokens, n_docs, cfg))
-    vectors = ckpt("vectors", tfidf_vectors(tokens, idf, cfg))
+    idf = ckpt("idf", lambda: idf_table(tokens, n_docs, cfg))
+    vectors = ckpt("vectors", lambda: tfidf_vectors(tokens, idf, cfg))
 
     post = postings(tokens, idf, cfg)
-    pairs = ckpt("candidate_pairs", candidate_pairs(post, cfg))
-    scored = ckpt("scored_pairs", score_pairs(pairs, vectors, reps, cfg))
+    pairs = ckpt("candidate_pairs", lambda: candidate_pairs(post, cfg))
+    scored = ckpt("scored_pairs", lambda: score_pairs(pairs, vectors, reps, cfg))
 
-    match_edges = scored.filter(F.col("is_match")).select("conv_id_a", "conv_id_b")
-    edges = ckpt("edges", match_edges.unionByName(dup_edges))
+    edges = ckpt(
+        "edges",
+        lambda: scored.filter(F.col("is_match"))
+        .select("conv_id_a", "conv_id_b")
+        .unionByName(dup_edges),
+    )
 
-    components = connected_components(edges, cfg=cfg)
-    clusters = ckpt("clusters", assign_entities(conversations, components))
+    clusters = ckpt(
+        "clusters",
+        lambda: assign_entities(
+            conversations, connected_components(edges, cfg=cfg)
+        ),
+    )
 
     return PipelineResult(
         conversations=conversations,

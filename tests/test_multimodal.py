@@ -1,0 +1,68 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas —
+schemas, batch shapes, determinism (decode itself is stubbed, see
+operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_match_recommend_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_features,
+    decode_frame,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = []
+    for i in range(20):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes([i % 251]) * (100 + i)
+        meta = (64, 48, 16000, 100 + i, f"x/{kind}")
+        rows.append((f"m{i:03d}", kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+
+
+def test_image_features_schema_and_determinism(media):
+    feats = image_features(media)
+    assert set(feats.columns) == {
+        "media_id", "n_bytes", "mean_r", "mean_g", "mean_b", "brightness", "phash"
+    }
+    got1 = {r["media_id"]: r["phash"] for r in feats.collect()}
+    got2 = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    assert got1 == got2  # deterministic across runs/partitions
+    assert len(got1) == media.filter(F.col("kind") == "image").count()
+    means = feats.agg(F.min("mean_r"), F.max("mean_r")).collect()[0]
+    assert 0.0 <= means[0] <= means[1] <= 255.0
+
+
+def test_resize_produces_fixed_byte_count(media):
+    out = resize_images(media, width=4, height=4).collect()
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in out)
+
+
+def test_audio_features(media):
+    out = audio_features(media)
+    rows = out.collect()
+    assert len(rows) == media.filter(F.col("kind") == "audio").count()
+    assert all(r["n_samples"] > 0 and 0.0 <= r["rms"] <= 1.5 for r in rows)
+
+
+def test_sample_frames_jvm_side(media):
+    frames = sample_frames(media, every_n=25)
+    per = frames.groupBy("media_id").count().collect()
+    # n_frames >= 100 → indices 0,25,50,75[,100] → 4 or 5 rows each
+    assert all(4 <= r["count"] <= 5 for r in per)
+    # plumbing is JVM-only: no Python eval in the plan
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_video_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_frame(b"xx", 0)
