@@ -76,6 +76,7 @@ def _shingle_pairs(conv: DataFrame, min_df: int = 2, max_df: int = 50) -> DataFr
         "conv_id",
         F.explode(word_ngrams(F.col("canonical_text"), 3)).alias("shingle"),
     ).persist()  # read by the df-count agg AND both self-join sides
+    sh.count()  # populate before the self-join schedules both sides
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     post = sh.join(
         F.broadcast(sdf.filter((F.col("sdf") >= min_df) & (F.col("sdf") <= max_df))),
@@ -104,6 +105,7 @@ def q_tfidf_top1_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = conv.count()
     idf = idf_table(tokens, n_docs)
     vectors = tfidf_vectors(tokens, idf).persist()  # joined as both pair sides
+    vectors.count()  # populate before the pair join schedules both sides
     pairs = _shingle_pairs(conv)
     cfg = PipelineConfig(tau_lo=0.0)
     scored = score_pairs(pairs, vectors, None, cfg).select(
@@ -193,6 +195,45 @@ SELECT user_id,
        count(*) AS n_turns,
        sha256(string_agg(event_type, chr(10) ORDER BY ts, event_id)) AS text_hash
 FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# typed structural tokens (reference typed-term analyze, C14 analog)
+# ---------------------------------------------------------------------------
+
+
+def q_typed_tokens_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_match_recommend_spark.operators.structure import typed_tokens
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit("").alias("tool"),
+        "ts",
+    )
+    conv = canonicalize(transcripts)
+    return typed_tokens(conv).select(
+        F.col("conv_id").cast("long").alias("user_id"), "token", "type"
+    )
+
+
+SQL_TYPED_TOKENS = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+r AS (SELECT DISTINCT user_id, 'role:' || event_type AS token, 'R' AS type
+      FROM events),
+nt AS (SELECT user_id,
+              'nturns:' || CAST(CAST(pow(2, floor(log2(n))) AS INT) AS VARCHAR)
+                AS token,
+              'N' AS type
+       FROM c)
+SELECT user_id, token, type FROM r
+UNION ALL
+SELECT user_id, token, type FROM nt
 """
 
 
@@ -585,7 +626,10 @@ SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM g GROUP BY user
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, text_col="text", id_col="doc_id", n_hashes=32)
+    sigs = minhash_signatures(
+        docs, text_col="text", id_col="doc_id", n_hashes=32
+    ).persist()  # read by LSH banding and twice by the estimate join
+    sigs.count()
     pairs = minhash_lsh_pairs(sigs, n_hashes=32, bands=8)
     return minhash_jaccard_estimate(sigs, pairs, 32).select(
         F.col("id_a").alias("doc_id_a"),
@@ -624,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tfidf_top1_similar": q_tfidf_top1_similar,
         "canonicalize_events": q_canonicalize_events,
+        "typed_tokens_events": q_typed_tokens_events,
         "exact_dedup": q_exact_dedup,
         "token_df": q_token_df,
         "idf": q_idf,
@@ -649,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tfidf_top1_similar": SQL_TFIDF_TOP1,
         "canonicalize_events": SQL_CANONICALIZE_EVENTS,
+        "typed_tokens_events": SQL_TYPED_TOKENS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "token_df": SQL_TOKEN_DF,
         "idf": SQL_IDF,

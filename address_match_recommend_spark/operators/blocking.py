@@ -78,6 +78,10 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         .persist()  # both sides of the self-join read this; without it each
         # side re-runs the postings plan (tokenize + distinct + window)
     )
+    # Force the cache NOW: if the first downstream action triggers the
+    # self-join, Spark schedules both sides before either has populated the
+    # cache and the postings plan runs twice concurrently.
+    salted.count()
 
     a = salted.alias("a")
     b = salted.alias("b")

@@ -65,6 +65,7 @@ def minhash_lsh_pairs(
         )
         .persist()  # both sides of the self-join read this
     )
+    buckets.count()  # populate before the self-join schedules both sides
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -146,6 +147,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     ).persist()  # both sides of the self-join read this
+    bands.count()  # populate before the self-join schedules both sides
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -222,6 +224,7 @@ def ngram_jaccard_pairs(
     usable = shingles.join(
         F.broadcast(df_counts.filter(F.col("sdf") <= max_shingle_df)), "shingle"
     ).persist()
+    usable.count()  # populate before the self-join schedules both sides
     a, b = usable.alias("a"), usable.alias("b")
     common = (
         a.join(

@@ -83,6 +83,11 @@ def score_pairs(
     if conversations is None:
         return scored.withColumn("is_match", F.col("cosine") >= cfg.tau_hi)
 
+    # The confident/borderline split below reads `scored` twice — persist
+    # (and populate) so the pair join runs once, not once per branch.
+    scored = scored.persist()
+    scored.count()
+
     # Jaro-Winkler tie-break for the borderline band only.
     jw_udf = make_jw_udf(cfg.jw_prefix_chars)
     texts_a = conversations.select(

@@ -38,6 +38,7 @@ class PipelineResult:
     representatives: DataFrame
     idf: DataFrame
     vectors: DataFrame
+    postings: DataFrame
     pairs: DataFrame
     scored: DataFrame
     dup_edges: DataFrame
@@ -51,8 +52,9 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     checkpointer=None,
 ) -> PipelineResult:
-    """Run every stage; returns all intermediate DataFrames (lazy — nothing
-    executes until an action, except the CC driver loop).
+    """Run every stage; returns all intermediate DataFrames, each
+    materialized (to the checkpoint dir when a checkpointer is given,
+    to the block-manager cache otherwise).
 
     ``checkpointer`` (sources.checkpoint.Checkpointer) makes each stage
     durable + resumable; None keeps the whole thing one in-memory DAG.
@@ -66,9 +68,13 @@ def run_pipeline(
         memory/disk instead — every stage output here is read by ≥2
         downstream consumers (or both sides of a self-join), and an
         unmaterialized fan-out re-executes the whole upstream plan per
-        consumer."""
+        consumer. Materialization is forced (count) because a lazily
+        persisted frame still races: one action triggering both sides of a
+        downstream self-join schedules both before the cache exists."""
         if checkpointer is None:
-            return thunk().persist()
+            out = thunk().persist()
+            out.count()
+            return out
         if checkpointer.is_complete(name):
             return checkpointer.stage(name, None)
         return checkpointer.stage(name, thunk())
@@ -80,11 +86,12 @@ def run_pipeline(
     tokens = explode_tokens(reps, cfg)
     if checkpointer is None:
         tokens = tokens.persist()  # feeds idf, vectors, and postings
+        tokens.count()
     n_docs = reps.count()
     idf = ckpt("idf", lambda: idf_table(tokens, n_docs, cfg))
     vectors = ckpt("vectors", lambda: tfidf_vectors(tokens, idf, cfg))
 
-    post = postings(tokens, idf, cfg)
+    post = ckpt("postings", lambda: postings(tokens, idf, cfg))
     pairs = ckpt("candidate_pairs", lambda: candidate_pairs(post, cfg))
     scored = ckpt("scored_pairs", lambda: score_pairs(pairs, vectors, reps, cfg))
 
@@ -107,6 +114,7 @@ def run_pipeline(
         representatives=reps,
         idf=idf,
         vectors=vectors,
+        postings=post,
         pairs=pairs,
         scored=scored,
         dup_edges=dup_edges,

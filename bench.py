@@ -75,7 +75,7 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     }
 
 
-def main() -> None:
+def main(er_only: bool = False) -> None:
     from pyspark.sql import SparkSession  # noqa: F401
     from address_match_recommend_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -86,15 +86,19 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # 1. headline: ER pipeline throughput
-    er = run_er_pipeline(spark, ER_ENTITIES.get(sf_name, 150))
+    n_entities = int(
+        os.environ.get("SPARK_GRAFT_ER_ENTITIES", ER_ENTITIES.get(sf_name, 150))
+    )
+    er = run_er_pipeline(spark, n_entities)
     queries["er_pipeline"] = round(er["sec"], 3)
 
     # 2. driver-contract queries against the SF tables
-    qmap = entrymod.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+    if not er_only:
+        qmap = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -113,22 +117,39 @@ def main() -> None:
     spark.stop()
 
 
-def scaling() -> None:
-    """Run the benchmark at 8 and 32 cores in fresh JVMs; print both
-    results plus scaling efficiency (throughput ratio ÷ core ratio)."""
+def scaling(n_entities: int = 1200, repeats: int = 2) -> None:
+    """Scaling-efficiency evidence (north rule, sandbox proxy for N vs 4N
+    executors): the SAME ER job on the SAME input at local[8] and
+    local[32], fresh JVM each, best-of-``repeats`` per parallelism level
+    (the sandbox host is noisy — a shared box showed ~3× run-to-run
+    variance; min is the standard noise-robust estimator).
+
+    efficiency = (throughput_32 / throughput_8) / (32/8).
+    """
     import subprocess
 
-    results = {}
+    results: dict[int, dict] = {}
     for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        best = None
+        for _ in range(repeats):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                SPARK_GRAFT_ER_ENTITIES=str(n_entities),
+                SPARK_GRAFT_SHUFFLE_PARTITIONS=str(cores * 4),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--er-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            run = json.loads(line)
+            if best is None or run["value"] < best["value"]:
+                best = run
+        results[cores] = best
     r8, r32 = results[8], results[32]
-    eff = (r8["value"] / r32["value"]) / (32 / 8) if r32["value"] else 0.0
+    t8, t32 = r8["queries"]["er_pipeline"], r32["queries"]["er_pipeline"]
+    eff = (t8 / t32) / (32 / 8) if t32 else 0.0
     pair_eff = (
         (r32["er_pairs_per_sec"] / r8["er_pairs_per_sec"]) / (32 / 8)
         if r8["er_pairs_per_sec"]
@@ -137,17 +158,19 @@ def scaling() -> None:
     print(json.dumps({
         "scaling": {
             "cores": [8, 32],
-            "total_sec": [r8["value"], r32["value"]],
+            "n_entities": n_entities,
+            "er_sec": [t8, t32],
             "er_pairs_per_sec": [r8["er_pairs_per_sec"], r32["er_pairs_per_sec"]],
-            "efficiency_total": round(eff, 3),
+            "efficiency_wall": round(eff, 3),
             "efficiency_er_pairs": round(pair_eff, 3),
         },
-        "runs": results,
+        "runs": {str(k): v for k, v in results.items()},
     }))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        ents = [a for a in sys.argv if a.startswith("--entities=")]
+        scaling(int(ents[0].split("=")[1]) if ents else 1200)
     else:
-        main()
+        main(er_only="--er-only" in sys.argv)

@@ -13,6 +13,7 @@ STAGES = [
     "representatives",
     "idf",
     "vectors",
+    "postings",
     "candidate_pairs",
     "scored_pairs",
     "edges",
