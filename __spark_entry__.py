@@ -307,6 +307,7 @@ def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_df=100,
         salt_bucket=10**9,  # one salt bucket → deterministic, SQL-equivalent
         max_block_tokens_per_conv=0,  # no budget → pure df-range blocking
+        min_shared_tokens=1,  # ≥1 shared token = the ANSI-SQL-expressible rule
     )
     return candidate_pairs(postings(tokens, idf, cfg), cfg).select(
         F.col("conv_id_a").alias("doc_id_a"), F.col("conv_id_b").alias("doc_id_b")

@@ -42,6 +42,12 @@ class PipelineConfig:
     #: per-conversation cap on blocking tokens (rarest-first), bounding the
     #: candidate-pair budget per record
     max_block_tokens_per_conv: int = 24
+    #: candidate pairs must share at least this many (token, salt) blocking
+    #: keys. True duplicates share many rare tokens; pairs sharing exactly
+    #: one are overwhelmingly noise that cosine would reject anyway —
+    #: filtering them BEFORE the vector join removes ~90% of the scoring
+    #: work (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
+    min_shared_tokens: int = 2
 
     # --- scoring ---
     #: accept pair outright when cosine >= tau_hi

@@ -133,14 +133,21 @@ def incremental_update(
     postings_new_side = new_post.select(
         "token", F.col("conv_id").alias("new_id")
     )
-    pairs = (
+    matched = (
         postings_new_side.join(all_post, "token")
         .filter(F.col("new_id") != F.col("conv_id"))
         .select(
+            "token",
             F.least("new_id", "conv_id").alias("conv_id_a"),
             F.greatest("new_id", "conv_id").alias("conv_id_b"),
         )
-        .distinct()
+        .distinct()  # new↔new pairs arrive in both join directions
+    )
+    pairs = (
+        matched.groupBy("conv_id_a", "conv_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= max(cfg.min_shared_tokens, 1))
+        .drop("n_shared")
     )
 
     # old-side vectors: only partners that actually appear in a pair
