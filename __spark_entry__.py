@@ -325,6 +325,64 @@ FROM post a JOIN post b ON a.token = b.token AND a.doc_id < b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# coord / density (reference A4/A5 parity) on blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_coord_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_match_recommend_spark.operators.scoring import coord_density
+
+    conv = _docs_as_conversations(spark, sf_dir)
+    tokens = explode_tokens(conv).persist()
+    tokens.count()
+    idf = idf_table(tokens, conv.count())
+    cfg = PipelineConfig(
+        min_block_df=2, max_block_df=100, salt_bucket=10**9,
+        max_block_tokens_per_conv=0, min_shared_tokens=1,
+    )
+    pairs = candidate_pairs(postings(tokens, idf, cfg), cfg).persist()
+    pairs.count()
+    return coord_density(pairs, tokens).select(
+        F.col("conv_id_a").alias("doc_id_a"),
+        F.col("conv_id_b").alias("doc_id_b"),
+        F.col("matched").cast("long").alias("matched"),
+        _e(F.col("coord"), 6).alias("coord_e6"),
+        _e(F.col("density"), 6).alias("density_e6"),
+    )
+
+
+SQL_COORD_DENSITY = f"""
+WITH tokx AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token,
+         generate_subscripts({SQL_TOKS}, 1) - 1 AS pos
+  FROM documents
+),
+nterms AS (SELECT doc_id, count(*) AS n_terms FROM tokx GROUP BY 1),
+dtok AS (SELECT DISTINCT doc_id, token FROM tokx),
+dft AS (SELECT token, count(*) AS df FROM dtok GROUP BY 1),
+post AS (SELECT t.token, t.doc_id FROM dtok t JOIN dft USING (token)
+         WHERE df BETWEEN 2 AND 100),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM post a JOIN post b ON a.token = b.token AND a.doc_id < b.doc_id),
+m AS (
+  SELECT p.a, p.b, count(*) AS matched,
+         min(ta.pos) AS ms, max(ta.pos) AS me
+  FROM pairs p
+  JOIN tokx ta ON ta.doc_id = p.a
+  WHERE EXISTS (SELECT 1 FROM dtok tb
+                WHERE tb.doc_id = p.b AND tb.token = ta.token)
+  GROUP BY 1, 2
+)
+SELECT m.a AS doc_id_a, m.b AS doc_id_b, matched,
+       CAST(round((sqrt(matched / CAST(n_terms AS DOUBLE)) * 0.5 + 0.5)
+                  * 1000000) AS BIGINT) AS coord_e6,
+       CAST(round((sqrt(matched / CAST(me - ms + 1 AS DOUBLE)) * 0.5 + 0.5)
+                  * 1000000) AS BIGINT) AS density_e6
+FROM m JOIN nterms ON nterms.doc_id = m.a
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact, shingle-df-capped)
 # ---------------------------------------------------------------------------
 
@@ -674,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_df": q_token_df,
         "idf": q_idf,
         "candidate_pairs": q_candidate_pairs,
+        "coord_density": q_coord_density,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_counts": q_token_counts,
@@ -700,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "token_df": SQL_TOKEN_DF,
         "idf": SQL_IDF,
         "candidate_pairs": SQL_CANDIDATE_PAIRS,
+        "coord_density": SQL_COORD_DENSITY,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "token_counts": SQL_TOKEN_COUNTS,

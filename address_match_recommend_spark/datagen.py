@@ -246,7 +246,9 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    corpus.transcripts.to_parquet(f"{out_dir}/transcripts.parquet", index=False)
-    corpus.expected_clusters.to_parquet(f"{out_dir}/expected_clusters.parquet", index=False)
-    corpus.labeled_pairs.to_parquet(f"{out_dir}/labeled_pairs.parquet", index=False)
-    corpus.golden_canonical.to_parquet(f"{out_dir}/golden_canonical.parquet", index=False)
+    # microsecond timestamps: Spark cannot read pandas' nanosecond default
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    corpus.transcripts.to_parquet(f"{out_dir}/transcripts.parquet", **kw)
+    corpus.expected_clusters.to_parquet(f"{out_dir}/expected_clusters.parquet", **kw)
+    corpus.labeled_pairs.to_parquet(f"{out_dir}/labeled_pairs.parquet", **kw)
+    corpus.golden_canonical.to_parquet(f"{out_dir}/golden_canonical.parquet", **kw)

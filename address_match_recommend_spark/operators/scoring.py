@@ -136,6 +136,60 @@ def score_pairs(
     )
 
 
+def coord_density(
+    pairs: DataFrame,
+    tokens: DataFrame,
+) -> DataFrame:
+    """Reference-parity coord/density per pair (A4/A5).
+
+    The reference computes, over the query doc's text terms
+    (/root/reference/core/similarity.go:435-483):
+      coord   = √(matched / n_query_text_terms)·0.5 + 0.5   (:466)
+      density = √(matched / (matchEnd − matchStart + 1))·0.5 + 0.5 (:482)
+    where matchStart/End are positions of matched terms in the query's
+    term order. Here "query" is side a of each pair; ``tokens`` is the
+    exploded (conv_id, pos, token) table, positions from posexplode
+    (SURVEY §2.5). Uses true float division, not the reference's
+    integer-division quantization (SURVEY §2.9).
+
+    All relational: token-intersection join + one aggregation per pair.
+    """
+    ta = tokens.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("pos").alias("pos_a"), "token"
+    )
+    tb = tokens.select(F.col("conv_id").alias("conv_id_b"), "token").distinct()
+    n_terms = tokens.groupBy(F.col("conv_id").alias("conv_id_a")).agg(
+        F.count(F.lit(1)).alias("n_terms_a")
+    )
+    matched = (
+        pairs.join(ta, "conv_id_a")
+        .join(tb, ["conv_id_b", "token"], "left_semi")
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("matched"),
+            F.min("pos_a").alias("match_start"),
+            F.max("pos_a").alias("match_end"),
+        )
+    )
+    half = F.lit(0.5)
+    return (
+        matched.join(F.broadcast(n_terms), "conv_id_a")
+        .withColumn(
+            "coord", F.sqrt(F.col("matched") / F.col("n_terms_a")) * half + half
+        )
+        .withColumn(
+            "density",
+            F.sqrt(
+                F.col("matched")
+                / (F.col("match_end") - F.col("match_start") + F.lit(1))
+            )
+            * half
+            + half,
+        )
+        .select("conv_id_a", "conv_id_b", "matched", "coord", "density")
+    )
+
+
 def top_k_matches(scored: DataFrame, k: int = 1) -> DataFrame:
     """Reference semantics: greedy top-N similar docs per query
     (``Query.AddSimiDoc`` /root/reference/models/query.go:12-33, descending

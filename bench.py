@@ -46,15 +46,38 @@ BENCH_QUERIES = [
 ]
 
 
+def ensure_corpus_parquet(n_entities: int, out_dir: str) -> str:
+    """Generate the deterministic corpus ONCE to parquet (pandas-side, no
+    Spark) so repeated scaling runs read identical bytes with zero
+    generation cost inside the measured window."""
+    from address_match_recommend_spark.datagen import generate_corpus, write_corpus
+
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(generate_corpus(n_entities=n_entities, seed=7), out_dir)
+        open(marker, "w").close()
+    return out_dir
+
+
 def run_er_pipeline(spark, n_entities: int) -> dict:
-    """Full pipeline on the synthetic corpus; returns timings + pair count."""
-    from address_match_recommend_spark.datagen import corpus_to_spark, generate_corpus
+    """Full pipeline on the synthetic corpus; returns timings + pair count.
+
+    If SPARK_GRAFT_ER_CORPUS points at a pre-generated corpus dir
+    (ensure_corpus_parquet), transcripts are read from parquet —
+    the scaling-evidence path."""
     from address_match_recommend_spark.plans.pipeline import run_pipeline
     from address_match_recommend_spark.plans.evaluate import pairwise_f1
 
-    corpus = generate_corpus(n_entities=n_entities, seed=7)
-    tables = corpus_to_spark(spark, corpus)
-    transcripts = tables["transcripts"].localCheckpoint()  # exclude gen cost
+    corpus_dir = os.environ.get("SPARK_GRAFT_ER_CORPUS")
+    if corpus_dir:
+        transcripts = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+        labeled_pairs = spark.read.parquet(f"{corpus_dir}/labeled_pairs.parquet")
+    else:
+        from address_match_recommend_spark.datagen import corpus_to_spark, generate_corpus
+
+        tables = corpus_to_spark(spark, generate_corpus(n_entities=n_entities, seed=7))
+        transcripts = tables["transcripts"].localCheckpoint()  # exclude gen cost
+        labeled_pairs = tables["labeled_pairs"]
     n_turns = transcripts.count()
 
     t0 = time.monotonic()
@@ -63,7 +86,7 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     n_clusters = result.clusters.select("entity_id").distinct().count()
     wall = time.monotonic() - t0
 
-    f1 = pairwise_f1(tables["labeled_pairs"], result.clusters)["f1"]
+    f1 = pairwise_f1(labeled_pairs, result.clusters)["f1"]
     return {
         "sec": wall,
         "n_turns": n_turns,
@@ -128,6 +151,9 @@ def scaling(n_entities: int = 1200, repeats: int = 2) -> None:
     """
     import subprocess
 
+    corpus_dir = ensure_corpus_parquet(
+        n_entities, f"/tmp/amr_scaling_corpus_{n_entities}"
+    )
     results: dict[int, dict] = {}
     for cores in (8, 32):
         best = None
@@ -136,7 +162,10 @@ def scaling(n_entities: int = 1200, repeats: int = 2) -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cores),
                 SPARK_GRAFT_ER_ENTITIES=str(n_entities),
-                SPARK_GRAFT_SHUFFLE_PARTITIONS=str(cores * 4),
+                SPARK_GRAFT_ER_CORPUS=corpus_dir,
+                # identical job config at both parallelism levels; only the
+                # core count differs (the N vs 4N executor proxy)
+                SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--er-only"],
