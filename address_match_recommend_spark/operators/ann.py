@@ -198,3 +198,85 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit an IVF coarse quantizer: k-means centroids (pyspark.ml, one
+    distributed Lloyd run) + the assignment table (id, list_id, vec).
+
+    At 100 TB the assignment table is the Iceberg-partitioned index —
+    ``PARTITIONED BY list_id`` makes a probe read only n_probe partitions
+    (partition pruning does the candidate selection). Returns driver-side
+    centroids (n_lists × dim floats — tiny) for query routing.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    assigned = model.transform(feats).select(
+        "id", "vec", F.col("prediction").alias("list_id")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+def ivf_topk(
+    centroids: list[list[float]],
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: route each query to its n_probe nearest
+    centroids (broadcast join against the tiny centroid table), then exact
+    cosine re-rank ONLY within those inverted lists. Recall rises with
+    n_probe; n_probe = n_lists degenerates to brute force."""
+    spark = assigned.sparkSession
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    cent = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # L2 distance query → centroid; keep n_probe nearest lists per query
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    routed = q.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    wr = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("list_id"))
+    probes = (
+        routed.withColumn("pr", F.row_number().over(wr))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "qvec", F.col("id").alias("match_id"), "vec")
+    )
+    scored = cand.withColumn("cosine", cosine_sim(F.col("qvec"), F.col("vec"))).select(
+        "query_id", "match_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -58,3 +58,38 @@ def test_embedding_neardup_pairs(spark, vecs):
     # all planted pairs among {0,20,21,22,23} found
     planted = {(a, b) for a in [0, 20, 21, 22, 23] for b in [0, 20, 21, 22, 23] if a < b}
     assert planted <= got
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=all lists must equal brute force; with fewer
+    probes it must still find planted near-duplicates (same list)."""
+    import numpy as np
+    from address_match_recommend_spark.operators.ann import (
+        brute_force_topk,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        # planted near-duplicate of each base vector
+        rows.append((1000 + i, [float(x) for x in v + rng.randn(16) * 0.01], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    centroids, assigned = ivf_fit(emb, n_lists=4, seed=7)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # full probe ≡ brute force
+    full = ivf_topk(centroids, assigned, queries, k=3, n_probe=4)
+    brute = brute_force_topk(emb, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["match_id"] for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): r["match_id"] for r in brute.collect()}
+    assert got == want
+
+    # 1-probe still finds the planted near-dup (it shares the list)
+    one = ivf_topk(centroids, assigned, queries, k=1, n_probe=1)
+    top1 = {r["query_id"]: r["match_id"] for r in one.collect()}
+    assert all(top1[q] == 1000 + q for q in top1)
