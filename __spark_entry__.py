@@ -238,6 +238,69 @@ SELECT user_id, token, type FROM nt
 
 
 # ---------------------------------------------------------------------------
+# boosted TF-IDF weights (reference C14 applied: weight = idf·boost,
+# /root/reference/core/similarity.go:264-324,494) — idf-only mode, i.e.
+# the reference's actual weighting (it never computes true TF, SURVEY A6)
+# ---------------------------------------------------------------------------
+
+
+def q_boosted_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_match_recommend_spark.operators.structure import (
+        boost_weights,
+        tokens_with_structure,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit("").alias("tool"),
+        "ts",
+    )
+    conv = canonicalize(transcripts)
+    toks = boost_weights(tokens_with_structure(conv))
+    cfg = PipelineConfig(use_tf=False)  # reference parity: weight = idf·boost
+    idf = idf_table(toks, conv.count())
+    vec = tfidf_vectors(toks, idf, cfg)
+    return (
+        vec.select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            F.explode("vec").alias("token", "w"),
+        )
+        .select("user_id", "token", _e(F.col("w"), 6).alias("w_e6"))
+    )
+
+
+SQL_BOOSTED_TFIDF = """
+WITH txt AS (SELECT DISTINCT user_id,
+                    unnest(regexp_extract_all(lower(event_type), '[a-z0-9]+'))
+                      AS token,
+                    'X' AS type
+             FROM events),
+r AS (SELECT DISTINCT user_id, 'role:' || event_type AS token, 'R' AS type
+      FROM events),
+c AS (SELECT user_id, count(*) AS nt FROM events GROUP BY 1),
+ntk AS (SELECT user_id,
+               'nturns:' || CAST(CAST(pow(2, floor(log2(nt))) AS INT) AS VARCHAR)
+                 AS token,
+               'N' AS type
+        FROM c),
+tok AS (SELECT * FROM txt UNION ALL SELECT * FROM r UNION ALL SELECT * FROM ntk),
+dft AS (SELECT token, count(DISTINCT user_id) AS df FROM tok GROUP BY 1)
+SELECT t.user_id, t.token,
+       CAST(round(greatest(ln((SELECT count(DISTINCT user_id) FROM events)
+                              / (df + 1.0)), 0.0)
+                  * CASE t.type WHEN 'R' THEN 2.0 WHEN 'T' THEN 2.0
+                                WHEN 'N' THEN 3.0 ELSE 1.0 END
+                  * 1000000) AS BIGINT) AS w_e6
+FROM tok t JOIN dft USING (token)
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact dedup (Bloom-path analog, F1) on documents
 # ---------------------------------------------------------------------------
 
@@ -655,10 +718,17 @@ SQL_POINT_LOOKUP = "SELECT doc_id, text, lang, source, n_chars FROM documents WH
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap math in exact integer MICROSECONDS on both engines (round-2 fix:
+    # Spark's unix_timestamp truncates to seconds while DuckDB's
+    # date_diff('second', ...) counts boundary crossings — they disagree on
+    # sub-second timestamps near the 1800 s threshold).
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ → tz offset cancels in gaps
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
     return (
         ev.withColumn("ns", new_sess)
         .groupBy("user_id")
@@ -670,11 +740,12 @@ SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS ns
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
 """
 
 
@@ -728,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top1_similar": q_tfidf_top1_similar,
         "canonicalize_events": q_canonicalize_events,
         "typed_tokens_events": q_typed_tokens_events,
+        "boosted_tfidf": q_boosted_tfidf,
         "exact_dedup": q_exact_dedup,
         "token_df": q_token_df,
         "idf": q_idf,
@@ -755,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top1_similar": SQL_TFIDF_TOP1,
         "canonicalize_events": SQL_CANONICALIZE_EVENTS,
         "typed_tokens_events": SQL_TYPED_TOKENS,
+        "boosted_tfidf": SQL_BOOSTED_TFIDF,
         "exact_dedup": SQL_EXACT_DEDUP,
         "token_df": SQL_TOKEN_DF,
         "idf": SQL_IDF,

@@ -20,6 +20,10 @@ class PipelineConfig:
     lowercase: bool = True
     stopwords: tuple[str, ...] = ()
     min_token_len: int = 1
+    #: F2 blank guard (/root/reference/core/similarity.go:50-52): drop
+    #: whitespace-only conversations at canonicalize so empty vectors
+    #: never reach blocking/scoring
+    drop_blank_conversations: bool = True
 
     # --- TF-IDF (documented math, not the reference's integer-division
     # quirk at /root/reference/core/similarity.go:355 — see SURVEY §2.9) ---
@@ -42,12 +46,22 @@ class PipelineConfig:
     #: per-conversation cap on blocking tokens (rarest-first), bounding the
     #: candidate-pair budget per record
     max_block_tokens_per_conv: int = 24
-    #: candidate pairs must share at least this many (token, salt) blocking
-    #: keys. True duplicates share many rare tokens; pairs sharing exactly
-    #: one are overwhelmingly noise that cosine would reject anyway —
-    #: filtering them BEFORE the vector join removes ~90% of the scoring
-    #: work (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
+    #: candidate pairs must share at least this many RAW blockable tokens
+    #: (counted pre-salt; pairs matched through a salted key always
+    #: qualify — see operators/blocking.py). True duplicates share many
+    #: rare tokens; pairs sharing exactly one cold token are
+    #: overwhelmingly noise that cosine would reject anyway — filtering
+    #: them BEFORE the vector join removes ~90% of the scoring work
+    #: (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
     min_shared_tokens: int = 2
+
+    # --- structure-aware scoring (reference C14 boosts) ---
+    #: tokenize with typed structural tokens (role:/tool:/nturns:) and
+    #: multiply each token's weight by its type boost
+    #: (structure.DEFAULT_BOOSTS); the pair scorer additionally applies
+    #: the nturns near-miss dampening (reference road-number analog,
+    #: /root/reference/core/similarity.go:305-316)
+    use_structure: bool = False
 
     # --- scoring ---
     #: accept pair outright when cosine >= tau_hi

@@ -67,14 +67,30 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     Hot posting lists are salted: block key becomes (token, salt) with
     salt = pmod(xxhash64(conv_id), ceil(df / salt_bucket)) — deterministic
     per conv_id so both members of a sub-block agree on the key.
+
+    ``min_shared_tokens`` semantics (round-2 fix of a real recall bug):
+    the threshold counts **raw shared blockable tokens, pre-salt** — NOT
+    shared (token, salt) keys. Counting post-salt keys undercounts pairs
+    whose shared tokens land in different salt sub-blocks and zeroed out
+    blocks where documents share only one hot token. Two rules now:
+
+    1. pair *generation* stays salted (the fan-out bound is untouched);
+    2. a generated pair qualifies when its TRUE shared-token count (a
+       join-back of pairs against the unsalted postings — bounded by
+       |pairs| × tokens-per-conv) meets the threshold, OR when the pair
+       was matched through a salted key: salting already applied a 1/S
+       random co-bucket filter, and the reference admits candidates on a
+       single shared blocking key (/root/reference/core/similarity.go:74-79)
+       — the cosine threshold downstream is the real precision gate.
     """
     cfg = cfg or PipelineConfig()
     n_salts = F.greatest(
         F.ceil(F.col("df") / F.lit(cfg.salt_bucket)).cast("int"), F.lit(1)
     )
     salted = (
-        post.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_salts).cast("int"))
-        .select("token", "salt", "conv_id")
+        post.withColumn("n_salts", n_salts)
+        .withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.col("n_salts")).cast("int"))
+        .select("token", "salt", "conv_id", (F.col("n_salts") > 1).alias("is_salted"))
         .persist()  # both sides of the self-join read this; without it each
         # side re-runs the postings plan (tokenize + distinct + window)
     )
@@ -95,17 +111,29 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     ).select(
         F.col("a.conv_id").alias("conv_id_a"),
         F.col("b.conv_id").alias("conv_id_b"),
+        F.col("a.is_salted").alias("is_salted"),
     )
-    if cfg.min_shared_tokens > 1:
-        # count shared blocking keys per pair; singles are noise (true
-        # duplicates share many rare tokens) and pruning them here keeps
-        # ~90% of pairs out of the expensive vector join entirely
-        pairs = (
-            matched.groupBy("conv_id_a", "conv_id_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= cfg.min_shared_tokens)
-            .drop("n_shared")
+    # distinct pairs + "was any generating key salted" flag
+    pairs_raw = matched.groupBy("conv_id_a", "conv_id_b").agg(
+        F.max("is_salted").alias("via_salted")
+    )
+    if cfg.min_shared_tokens <= 1:
+        return pairs_raw.drop("via_salted")
+
+    # True shared-token count, pre-salt: join the (already bounded) pair
+    # set back against unsalted postings on each side. |pairs| × K rows
+    # max (K = max_block_tokens_per_conv) — cheap relative to scoring.
+    pa = salted.select(F.col("conv_id").alias("conv_id_a"), "token")
+    pb = salted.select(F.col("conv_id").alias("conv_id_b"), "token")
+    counted = (
+        pairs_raw.join(pa, "conv_id_a")
+        .join(pb, ["conv_id_b", "token"])
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("via_salted").alias("via_salted"),
         )
-    else:
-        pairs = matched.distinct()
-    return pairs
+    )
+    return counted.filter(
+        F.col("via_salted") | (F.col("n_shared") >= cfg.min_shared_tokens)
+    ).select("conv_id_a", "conv_id_b")

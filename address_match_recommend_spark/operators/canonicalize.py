@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..config import PipelineConfig
+
+
 def _turn_struct():
     """Struct carried per turn inside the sort array; turn_idx leads so
     array_sort orders by it (text as deterministic tie-break)."""
@@ -30,14 +33,23 @@ def _turn_struct():
     )
 
 
-def canonicalize(transcripts: DataFrame) -> DataFrame:
+def canonicalize(
+    transcripts: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
     """Aggregate turn rows into one conversation row.
 
     Output schema: conv_id, canonical_text, n_turns, roles array<string>,
     tools array<string>, first_ts, last_ts, text_hash (sha256 of
     canonical_text — the exact-dedup key, analog of the reference's Bloom
     key /root/reference/core/similarity.go:55-61).
+
+    Blank guard (F2, /root/reference/core/similarity.go:50-52): when
+    cfg.drop_blank_conversations (default True), conversations whose
+    canonical text is empty/whitespace-only are dropped HERE, so they
+    never reach tokenize/blocking/scoring — they would tokenize to empty
+    vectors and only ever produce noise pairs through structural tokens.
     """
+    cfg = cfg or PipelineConfig()
     turns_sorted = F.array_sort(F.collect_list(_turn_struct()))
     df = (
         transcripts.groupBy("conv_id")
@@ -63,4 +75,6 @@ def canonicalize(transcripts: DataFrame) -> DataFrame:
         )
         .withColumn("text_hash", F.sha2(F.col("canonical_text"), 256))
     )
+    if cfg.drop_blank_conversations:
+        df = df.filter(F.trim(F.coalesce(F.col("canonical_text"), F.lit(""))) != "")
     return df

@@ -69,7 +69,10 @@ def score_pairs(
     # join / partial agg — measured ~50× faster than per-pair map merging
     # (map_zip_with linearly probes Catalyst's array-backed maps, giving
     # O((n+m)²) per pair). Pairs sharing no weighted token drop out of the
-    # inner join — their cosine is 0 < tau_lo by definition.
+    # inner join — their cosine is 0, below any tau_lo > 0. (At tau_lo=0
+    # such pairs are dropped too: cosine 0 means no evidence of a match,
+    # and emitting the cross-product of non-overlapping pairs would defeat
+    # the point of blocking; zero-overlap pairs are never matches here.)
     wa = vectors.select(
         F.col("conv_id").alias("conv_id_a"), F.explode("vec").alias("token", "w_a")
     )
@@ -82,6 +85,57 @@ def score_pairs(
         .groupBy("conv_id_a", "conv_id_b")
         .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
     )
+    # nturns near-miss (reference road-number analog, C14 conditional
+    # half, /root/reference/core/similarity.go:305-316): when the two
+    # sides' nturns BUCKETS differ, the equi-join above contributes
+    # nothing for the structural turn-count term — the reference instead
+    # dampens it by (1/⁴√(Δ+1))·2 rather than zeroing it. Add that cross
+    # term to the dot product. Per-doc norms keep the static exact-match
+    # boost (3.0) — norms cannot be pair-conditional in a precomputed
+    # vector design; the F1 gate verifies this approximation.
+    if cfg.use_structure and conversations is not None and "n_turns" in conversations.columns:
+        from .structure import NTURNS_EXACT_BOOST, nearmiss_boost, nturns_bucket
+
+        ntok = F.concat(F.lit("nturns:"), nturns_bucket(F.col("n_turns")))
+        side = vectors.join(
+            conversations.select("conv_id", "n_turns"), "conv_id"
+        ).select(
+            "conv_id", "n_turns", F.element_at(F.col("vec"), ntok).alias("w_n")
+        )
+        sa = side.select(
+            F.col("conv_id").alias("conv_id_a"),
+            F.col("n_turns").alias("nt_a"),
+            F.col("w_n").alias("w_na"),
+        )
+        sb = side.select(
+            F.col("conv_id").alias("conv_id_b"),
+            F.col("n_turns").alias("nt_b"),
+            F.col("w_n").alias("w_nb"),
+        )
+        nm = (
+            pairs.join(sa, "conv_id_a")
+            .join(sb, "conv_id_b")
+            .filter(F.col("w_na").isNotNull() & F.col("w_nb").isNotNull())
+            .filter(
+                nturns_bucket(F.col("nt_a")) != nturns_bucket(F.col("nt_b"))
+            )
+            .select(
+                "conv_id_a",
+                "conv_id_b",
+                (
+                    F.col("w_na")
+                    * F.col("w_nb")
+                    * nearmiss_boost(F.col("nt_a") - F.col("nt_b"))
+                    / F.lit(NTURNS_EXACT_BOOST)
+                ).alias("dot_adj"),
+            )
+        )
+        dots = (
+            dots.join(nm, ["conv_id_a", "conv_id_b"], "left")
+            .withColumn("dot", F.col("dot") + F.coalesce(F.col("dot_adj"), F.lit(0.0)))
+            .drop("dot_adj")
+        )
+
     na = vectors.select(F.col("conv_id").alias("conv_id_a"), F.col("norm").alias("norm_a"))
     nb = vectors.select(F.col("conv_id").alias("conv_id_b"), F.col("norm").alias("norm_b"))
     scored = (
@@ -153,7 +207,14 @@ def coord_density(
     integer-division quantization (SURVEY §2.9).
 
     All relational: token-intersection join + one aggregation per pair.
+
+    Only TEXT terms participate (reference F4 predicate,
+    /root/reference/core/similarity.go:437-446): if ``tokens`` carries a
+    ``type`` column (structure-aware mode), typed structural tokens are
+    excluded here — their pos=-1 sentinel would corrupt match_start.
     """
+    if "type" in tokens.columns:
+        tokens = tokens.filter(F.col("type") == "X")
     ta = tokens.select(
         F.col("conv_id").alias("conv_id_a"), F.col("pos").alias("pos_a"), "token"
     )
@@ -172,8 +233,13 @@ def coord_density(
         )
     )
     half = F.lit(0.5)
+    # NOTE: n_terms is one row PER CONVERSATION — O(corpus) — so it must
+    # NOT be broadcast (round-1 fix: a broadcast here OOMs the driver at
+    # 10^8+ conversations). It shares the conv_id_a key with `matched`;
+    # AQE picks a shuffled hash join and can co-locate with the upstream
+    # aggregation's partitioning.
     return (
-        matched.join(F.broadcast(n_terms), "conv_id_a")
+        matched.join(n_terms, "conv_id_a")
         .withColumn(
             "coord", F.sqrt(F.col("matched") / F.col("n_terms_a")) * half + half
         )
@@ -187,6 +253,78 @@ def coord_density(
             + half,
         )
         .select("conv_id_a", "conv_id_b", "matched", "coord", "density")
+    )
+
+
+def explain_matches(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    tokens: DataFrame,
+) -> DataFrame:
+    """Explain output — the reference's per-term match explanations
+    ``MatchedTerm{Term, Coord, Density, Boost, TfIdf}``
+    (/root/reference/models/matched_term.go:4-10, populated at
+    /root/reference/core/similarity.go:518-530): for each candidate pair,
+    every matched term with its contribution components, so a user
+    debugging a bad match sees exactly which terms drove the score.
+
+    Output: (conv_id_a, conv_id_b, token, type, w_a, w_b, boost, coord,
+    density) — one row per matched term per pair. Like the reference,
+    coord/density are pair-level values stamped on each TEXT term
+    (non-text terms get -1.0, similarity.go:523-527); ``boost`` is the
+    type boost (1.0 when no type information is present).
+
+    All relational: the same exploded-vector equi-join as the dot product
+    plus one coord_density aggregation — no Python, no broadcast of
+    corpus-sized tables.
+    """
+    wa = vectors.select(
+        F.col("conv_id").alias("conv_id_a"), F.explode("vec").alias("token", "w_a")
+    )
+    wb = vectors.select(
+        F.col("conv_id").alias("conv_id_b"), F.explode("vec").alias("token", "w_b")
+    )
+    matched = pairs.select("conv_id_a", "conv_id_b").join(wa, "conv_id_a").join(
+        wb, ["conv_id_b", "token"]
+    )
+
+    if "type" in tokens.columns:
+        from .structure import DEFAULT_BOOSTS
+
+        types = tokens.select("token", "type").distinct()
+        boost_col = F.lit(DEFAULT_BOOSTS.get("X", 1.0))
+        for code, w in DEFAULT_BOOSTS.items():
+            boost_col = F.when(F.col("type") == code, F.lit(float(w))).otherwise(
+                boost_col
+            )
+        matched = matched.join(types, "token", "left").withColumn(
+            "type", F.coalesce(F.col("type"), F.lit("X"))
+        )
+        matched = matched.withColumn("boost", boost_col)
+    else:
+        matched = matched.withColumn("type", F.lit("X")).withColumn(
+            "boost", F.lit(1.0)
+        )
+
+    cd = coord_density(pairs, tokens).select(
+        "conv_id_a", "conv_id_b", "coord", "density"
+    )
+    out = matched.join(cd, ["conv_id_a", "conv_id_b"], "left")
+    is_text = F.col("type") == "X"
+    return out.select(
+        "conv_id_a",
+        "conv_id_b",
+        "token",
+        "type",
+        "w_a",
+        "w_b",
+        "boost",
+        F.when(is_text, F.coalesce(F.col("coord"), F.lit(1.0)))
+        .otherwise(F.lit(-1.0))
+        .alias("coord"),
+        F.when(is_text, F.coalesce(F.col("density"), F.lit(1.0)))
+        .otherwise(F.lit(-1.0))
+        .alias("density"),
     )
 
 

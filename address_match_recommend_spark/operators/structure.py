@@ -25,11 +25,41 @@ from ..config import PipelineConfig
 #: type-code → weight multiplier (analog of the reference's boost table,
 #: /root/reference/core/similarity.go:13-17: province/city ×4, road ×2...)
 DEFAULT_BOOSTS = {
-    "X": 1.0,   # free text (reference TextTerm)
+    "X": 1.0,   # free text (reference TextTerm, BoostM=1)
     "R": 2.0,   # role     (≈ reference road ×2: strong structural signal)
     "T": 2.0,   # tool
-    "N": 1.0,   # turn-count bucket (≈ road number: near-miss tolerant)
+    "N": 3.0,   # turn-count bucket, exact match (≈ reference road-number
+    #             exact boost 3.0, similarity.go:308; the near-miss
+    #             dampening for UNequal buckets is pair-conditional and
+    #             applied in scoring.score_pairs via nearmiss_boost)
 }
+
+
+def nturns_bucket(col):
+    """Power-of-two bucket of a turn count — the token value of the
+    ``nturns:`` typed term. Shared by :func:`typed_tokens` and the pair
+    scorer's near-miss adjustment so the two always agree."""
+    return (
+        F.pow(F.lit(2.0), F.floor(F.log2(col.cast("double"))))
+        .cast("int")
+        .cast("string")
+    )
+
+
+def nearmiss_boost(delta):
+    """The reference's road-number near-miss boost
+    (/root/reference/core/similarity.go:305-316): numbers on the same road
+    that differ by Δ still contribute, dampened by
+    ``(1/⁴√(Δ+1))·BoostL`` with BoostL=2. Here Δ = |n_turns_a−n_turns_b|:
+    two captures of the same conversation that differ by a few turns
+    (the transcript analog of adjacent door numbers) keep a dampened
+    structural-signal contribution instead of dropping to zero."""
+    return F.lit(2.0) / F.pow(F.abs(delta).cast("double") + F.lit(1.0), F.lit(0.25))
+
+
+#: exact-match boost for the nturns term (reference RoadNum exact match
+#: boost = 3.0, /root/reference/core/similarity.go:308)
+NTURNS_EXACT_BOOST = 3.0
 
 
 def typed_tokens(conversations: DataFrame) -> DataFrame:
@@ -54,12 +84,7 @@ def typed_tokens(conversations: DataFrame) -> DataFrame:
     )
     nturns = conversations.select(
         "conv_id",
-        F.concat(
-            F.lit("nturns:"),
-            F.pow(F.lit(2.0), F.floor(F.log2(F.col("n_turns").cast("double"))))
-            .cast("int")
-            .cast("string"),
-        ).alias("token"),
+        F.concat(F.lit("nturns:"), nturns_bucket(F.col("n_turns"))).alias("token"),
         F.lit("N").alias("type"),
     )
     return roles.unionByName(tools).unionByName(nturns)
@@ -69,8 +94,10 @@ def boost_weights(
     tokens_with_type: DataFrame, boosts: dict[str, float] | None = None
 ) -> DataFrame:
     """Attach the boost column from the type code (static F.when chain —
-    the JVM-side half of reference C14; the conditional road-number
-    near-miss half lives in the pair scorer where both sides are known)."""
+    the JVM-side half of reference C14). The pair-conditional near-miss
+    half (:func:`nearmiss_boost`) is applied by ``scoring.score_pairs``
+    when cfg.use_structure is set — see the ``nturns near-miss`` block
+    there."""
     boosts = boosts or DEFAULT_BOOSTS
     col = F.lit(boosts.get("X", 1.0))
     for code, w in boosts.items():

@@ -77,11 +77,19 @@ def tfidf_vectors(
 
     The idf join is an equi-join against an O(vocab)-row table →
     broadcast hash join (north rule).
+
+    If ``tokens`` carries a ``boost`` column (structure-aware mode,
+    operators/structure.boost_weights — the reference's C14: weight =
+    idf·boost, /root/reference/core/similarity.go:494,513-516), the
+    weight is further multiplied by it. The boost is constant per
+    (conv_id, token) so max() under the groupBy is exact.
     """
     cfg = cfg or PipelineConfig()
-    counts = tokens.groupBy("conv_id", "token").agg(
-        F.count(F.lit(1)).alias("tf_raw")
-    )
+    has_boost = "boost" in tokens.columns
+    aggs = [F.count(F.lit(1)).alias("tf_raw")]
+    if has_boost:
+        aggs.append(F.max("boost").alias("boost"))
+    counts = tokens.groupBy("conv_id", "token").agg(*aggs)
     weighted = counts.join(F.broadcast(idf.select("token", "idf")), "token", "left")
     # unseen tokens (scoring a corpus against a previously-fit IDF table)
     weighted = weighted.withColumn(
@@ -92,6 +100,8 @@ def tfidf_vectors(
         weight = (F.col("tf_raw") / doc_len) * F.col("idf")
     else:
         weight = F.col("idf")
+    if has_boost:
+        weight = weight * F.col("boost")
     weighted = weighted.withColumn("w", weight.cast("double"))
     return weighted.groupBy("conv_id").agg(
         F.map_from_entries(F.collect_list(F.struct("token", "w"))).alias("vec"),

@@ -70,7 +70,7 @@ def incremental_update(
     cfg = cfg or PipelineConfig()
 
     # 1. canonicalize the batch only; drop conv_ids we already have
-    new_conv = canonicalize(new_transcripts).join(
+    new_conv = canonicalize(new_transcripts, cfg).join(
         prev_conversations.select("conv_id"), "conv_id", "left_anti"
     ).persist()
     n_new = new_conv.count()

@@ -79,11 +79,20 @@ def run_pipeline(
             return checkpointer.stage(name, None)
         return checkpointer.stage(name, thunk())
 
-    conversations = ckpt("conversations", lambda: canonicalize(transcripts))
+    conversations = ckpt("conversations", lambda: canonicalize(transcripts, cfg))
     reps = ckpt("representatives", lambda: dedup_exact(conversations))
     dup_edges = exact_dup_edges(conversations)
 
-    tokens = explode_tokens(reps, cfg)
+    if cfg.use_structure:
+        # reference C14: typed structural terms (role:/tool:/nturns:) join
+        # the token namespace and each token's weight is scaled by its
+        # type boost; the nturns near-miss dampening happens pairwise in
+        # score_pairs (/root/reference/core/similarity.go:264-324,494)
+        from ..operators.structure import boost_weights, tokens_with_structure
+
+        tokens = boost_weights(tokens_with_structure(reps, cfg))
+    else:
+        tokens = explode_tokens(reps, cfg)
     if checkpointer is None:
         tokens = tokens.persist()  # feeds idf, vectors, and postings
         tokens.count()

@@ -78,11 +78,33 @@ def read_transcripts_text(
 ) -> DataFrame:
     """Bulk-import path (reference S5: one line = one record,
     /root/reference/sh/import_base_addrs.go:13-68). Each line becomes a
-    single-turn conversation keyed by a content+line hash."""
-    lines = spark.read.text(path)
+    single-turn conversation.
+
+    conv_id is **deterministic across re-imports** (round-2 fix: it used
+    to mix in monotonically_increasing_id, which varies with partitioning
+    and task retries, so replaying the same file produced fresh conv_ids
+    and defeated the incremental plan's anti-join replay guard). Key =
+    sha256(file-basename \\x00 line-content \\x00 occurrence-index), where
+    the occurrence index disambiguates identical lines within one file —
+    any assignment of 1..k to k identical lines yields the same SET of
+    conv_ids, so two identical imports dedupe exactly.
+    """
+    from pyspark.sql import Window
+
+    lines = spark.read.text(path).withColumn(
+        "fname", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("fname", "value").orderBy(F.lit(1))
+    )
     return conform_transcripts(
         lines.select(
-            F.sha2(F.concat_ws("\x00", F.col("value"), F.monotonically_increasing_id().cast("string")), 256).alias("conv_id"),
+            F.sha2(
+                F.concat_ws(
+                    "\x00", F.col("fname"), F.col("value"), occ.cast("string")
+                ),
+                256,
+            ).alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             F.lit(default_role).alias("role"),
             F.col("value").alias("text"),

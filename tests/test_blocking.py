@@ -58,7 +58,13 @@ def test_per_conv_token_budget(spark, block_input):
 
 def test_salting_bounds_block_size(spark):
     """A planted hot token in 100 docs: salted sub-blocks each ≤ salt_bucket,
-    and pair count shrinks from 100·99/2 to ~bucketed size."""
+    and pair count shrinks from 100·99/2 to ~bucketed size.
+
+    Round-1 regression: with min_shared_tokens=2 (the default) this corpus
+    used to yield ZERO pairs — shared (token, salt) keys were counted
+    instead of raw tokens, and every pair here shares exactly one (hot)
+    token. Pairs matched through a salted key now qualify at threshold 1
+    (reference: one shared blocking key suffices, similarity.go:74-79)."""
     rows = [(f"c{i:03d}", f"hotkey uniq{i:03d}") for i in range(100)]
     df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
     tokens = explode_tokens(df)
@@ -67,3 +73,34 @@ def test_salting_bounds_block_size(spark):
     pairs = candidate_pairs(postings(tokens, idf, cfg), cfg)
     n = pairs.count()
     assert 0 < n < 100 * 99 / 2 / 3  # far below the unsalted quadratic
+
+
+def test_shared_tokens_counted_pre_salt(spark):
+    """Round-1 regression: a pair sharing 2 real tokens must survive
+    min_shared_tokens=2 even when one shared token is hot (salted) and the
+    two docs land in DIFFERENT salt sub-blocks for it. n_shared is counted
+    on raw tokens via the join-back, not on co-bucketed (token, salt) keys.
+
+    Fixture: 10 planted pairs (pNNa, pNNb) each sharing a distinct cold
+    token pairNN plus the global hot token; 80 filler docs make the hot
+    token's posting list long enough to salt into many sub-blocks
+    (df=100 ≫ salt_bucket=5 → 20 buckets), so most planted pairs split on
+    the hot token and are generated through their cold token alone."""
+    rows = []
+    for i in range(10):
+        rows.append((f"p{i:02d}a", f"hotkey pair{i:02d} filla{i:02d}"))
+        rows.append((f"p{i:02d}b", f"hotkey pair{i:02d} fillb{i:02d}"))
+    rows += [(f"z{i:03d}", f"hotkey lone{i:03d}") for i in range(80)]
+    df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
+    tokens = explode_tokens(df)
+    idf = idf_table(tokens, len(rows))
+    cfg = PipelineConfig(
+        max_block_df=500, min_block_df=2, salt_bucket=5, min_shared_tokens=2
+    )
+    pairs = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in candidate_pairs(postings(tokens, idf, cfg), cfg).collect()
+    }
+    # every planted pair shares 2 raw tokens → must all be present
+    for i in range(10):
+        assert (f"p{i:02d}a", f"p{i:02d}b") in pairs, f"planted pair {i} lost"

@@ -37,17 +37,35 @@ def test_all_exact_duplicates(spark):
     assert res.scored.count() == 0  # nothing was pairwise-scored
 
 
-def test_blank_text_conversations(spark):
+def test_blank_text_conversations_dropped(spark):
+    """F2 blank guard (default ON): whitespace-only conversations are
+    dropped at canonicalize and never reach blocking/scoring."""
+    rows = [
+        ("c1", 0, "user", "", "", TS),
+        ("c2", 0, "user", "   ", "", TS),
+        ("c3", 0, "user", "real content here about spark", "", TS),
+    ]
+    res = run_pipeline(spark.createDataFrame(rows, TRANSCRIPTS_DDL))
+    clusters = {r["conv_id"]: r["entity_id"] for r in res.clusters.collect()}
+    assert set(clusters) == {"c3"} and clusters["c3"] == "c3"
+
+
+def test_blank_text_conversations_guard_off(spark):
+    """With the guard off, blanks survive as exact duplicates of each
+    other and are still never pairwise-scored (empty token vectors)."""
+    from address_match_recommend_spark.config import PipelineConfig
+
     rows = [
         ("c1", 0, "user", "", "", TS),
         ("c2", 0, "user", "", "", TS),
         ("c3", 0, "user", "real content here about spark", "", TS),
     ]
-    res = run_pipeline(spark.createDataFrame(rows, TRANSCRIPTS_DDL))
+    cfg = PipelineConfig(drop_blank_conversations=False)
+    res = run_pipeline(spark.createDataFrame(rows, TRANSCRIPTS_DDL), cfg)
     clusters = {r["conv_id"]: r["entity_id"] for r in res.clusters.collect()}
-    # blank conversations are exact duplicates of each other, never scored
     assert clusters["c1"] == clusters["c2"] == "c1"
     assert clusters["c3"] == "c3"
+    assert res.scored.count() == 0
 
 
 def test_find_similar_empty(spark):
