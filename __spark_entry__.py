@@ -301,6 +301,64 @@ FROM tok t JOIN dft USING (token)
 
 
 # ---------------------------------------------------------------------------
+# text-structure normalization (reference C4/C3/C8 analogs: bracket
+# extraction, long-digit-run collapse, unit-suffix scrub —
+# /root/reference/core/interpreter.go:339-362,326, :192-193). The corpus
+# has no bracketed text, so the query synthesizes a deterministic
+# structured string from events columns, then runs the REAL operators.
+# ---------------------------------------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_match_recommend_spark.functions.normalize import (
+        collapse_repeat_digits,
+        extract_brackets,
+        scrub_suffixes,
+        strip_brackets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.concat(
+        F.lit("["),
+        F.col("event_type"),
+        F.lit("] step "),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(" took "),
+        (F.col("user_id") % 100).cast("string"),
+        F.lit("ms ref "),
+        (F.col("event_id") * 1000000).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(extract_brackets(s), "|").alias("brackets"),
+        collapse_repeat_digits(
+            scrub_suffixes(strip_brackets(s), ["ms"]), 6
+        ).alias("residual"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH s AS (
+  SELECT event_id,
+         '[' || event_type || '] step ' || CAST(event_id % 10 AS VARCHAR)
+         || ' took ' || CAST(user_id % 100 AS VARCHAR) || 'ms ref '
+         || CAST(event_id * 1000000 AS VARCHAR) AS t
+  FROM events
+)
+SELECT event_id,
+       array_to_string(
+         regexp_extract_all(t, '([(（{<〈\[【「][^)）}>〉\]】」]*[)）}>〉\]】」])', 1),
+         '|') AS brackets,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[(（{<〈\[【「][^)）}>〉\]】」]*[)）}>〉\]】」]', '', 'g'),
+           '[0-9]+(ms)', '', 'g'),
+         '[0-9]{6,}', '', 'g') AS residual
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact dedup (Bloom-path analog, F1) on documents
 # ---------------------------------------------------------------------------
 
@@ -755,12 +813,16 @@ FROM g GROUP BY user_id
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH in md5 mode (hash family = 15-hex-char md5 prefixes,
+    identical in DuckDB, so the full signature→banding→estimate path is
+    value-checked; xx64 mode is the cheaper production default and is
+    covered by pytest goldens)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(
-        docs, text_col="text", id_col="doc_id", n_hashes=32
+        docs, text_col="text", id_col="doc_id", n_hashes=32, hash_algo="md5"
     ).persist()  # read by LSH banding and twice by the estimate join
     sigs.count()
-    pairs = minhash_lsh_pairs(sigs, n_hashes=32, bands=8)
+    pairs = minhash_lsh_pairs(sigs, n_hashes=32, bands=8, bucket="concat")
     return minhash_jaccard_estimate(sigs, pairs, 32).select(
         F.col("id_a").alias("doc_id_a"),
         F.col("id_b").alias("doc_id_b"),
@@ -768,14 +830,69 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_MINHASH_LSH = """
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents),
+seeds AS (SELECT unnest(range(32)) AS i),
+sig AS (SELECT doc_id, i,
+               min(substr(md5(CAST(i AS VARCHAR) || '|' || token), 1, 15)) AS v
+        FROM toks CROSS JOIN seeds GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // 4 AS band, string_agg(v, '|' ORDER BY i) AS bkey
+          FROM sig GROUP BY doc_id, i // 4),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT p.doc_id_a, p.doc_id_b,
+       CAST(round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0 * 10000)
+            AS BIGINT) AS est_jaccard_e4
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_id_a
+JOIN sig sb ON sb.doc_id = p.doc_id_b AND sb.i = sa.i
+GROUP BY p.doc_id_a, p.doc_id_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash in md5 mode — bit i of a token's hash = bit i%4 of hex
+    nibble i//4 of md5(token), reproducible in DuckDB → value-checked."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = simhash(docs, text_col="text", id_col="doc_id")
+    sigs = simhash(docs, text_col="text", id_col="doc_id", hash_algo="md5")
     return simhash_pairs(sigs, max_hamming=16).select(
         F.col("id_a").alias("doc_id_a"),
         F.col("id_b").alias("doc_id_b"),
-        "hamming",
+        F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+SQL_SIMHASH = """
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents),
+th AS (SELECT doc_id, md5(token) AS h FROM toks),
+bits AS (SELECT unnest(range(64)) AS i),
+tb AS (SELECT doc_id, i,
+              ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1)
+               >> (i % 4)) & 1 AS bit
+       FROM th CROSS JOIN bits),
+votes AS (SELECT doc_id, i,
+                 CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+          FROM tb GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // 16 AS band,
+                 string_agg(CAST(sbit AS VARCHAR), '' ORDER BY i) AS bkey
+          FROM votes GROUP BY doc_id, i // 16),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(sum(CASE WHEN va.sbit <> vb.sbit THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM cand c
+JOIN votes va ON va.doc_id = c.doc_id_a
+JOIN votes vb ON vb.doc_id = c.doc_id_b AND vb.i = va.i
+GROUP BY c.doc_id_a, c.doc_id_b
+HAVING sum(CASE WHEN va.sbit <> vb.sbit THEN 1 ELSE 0 END) <= 16
+"""
 
 
 def q_er_pipeline_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_events": q_canonicalize_events,
         "typed_tokens_events": q_typed_tokens_events,
         "boosted_tfidf": q_boosted_tfidf,
+        "text_normalize": q_text_normalize,
         "exact_dedup": q_exact_dedup,
         "token_df": q_token_df,
         "idf": q_idf,
@@ -828,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_events": SQL_CANONICALIZE_EVENTS,
         "typed_tokens_events": SQL_TYPED_TOKENS,
         "boosted_tfidf": SQL_BOOSTED_TFIDF,
+        "text_normalize": SQL_TEXT_NORMALIZE,
         "exact_dedup": SQL_EXACT_DEDUP,
         "token_df": SQL_TOKEN_DF,
         "idf": SQL_IDF,
@@ -844,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": SQL_TOPK_ORDERS,
         "point_lookup": SQL_POINT_LOOKUP,
         "sessionize_events": SQL_SESSIONIZE,
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "simhash": SQL_SIMHASH,
         # minhash_lsh / simhash / er_pipeline_synthetic: hash-family and
         # iteration not expressible in ANSI SQL → rows-only check
     }

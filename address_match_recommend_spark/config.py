@@ -62,6 +62,13 @@ class PipelineConfig:
     #: the nturns near-miss dampening (reference road-number analog,
     #: /root/reference/core/similarity.go:305-316)
     use_structure: bool = False
+    #: reference ranking parity: multiply each matched TEXT term's
+    #: doc-side contribution by the pair's coord·density
+    #: (/root/reference/core/similarity.go:502-516 — coord/density scale
+    #: dtfidf before it enters the cosine sums). Off by default: the F1
+    #: gate doesn't need it, and it adds a coord/density aggregation per
+    #: pair; turn on to reproduce the reference's actual ranking.
+    use_coord_density: bool = False
 
     # --- scoring ---
     #: accept pair outright when cosine >= tau_hi

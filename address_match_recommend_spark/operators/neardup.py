@@ -32,32 +32,58 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _seeded_hash(token_col, i: int, hash_algo: str):
+    """One member of the hash family. ``xx64`` (default) is the fast
+    production path. ``md5`` exists bit-identically in DuckDB too, and a
+    fixed-width lowercase-hex prefix compares lexicographically exactly as
+    its numeric value — so md5-mode signatures are value-checkable against
+    a pure-SQL oracle (CORRECTNESS gate) while exercising the same
+    operator code path."""
+    if hash_algo == "xx64":
+        return F.xxhash64(token_col, F.lit(i))
+    if hash_algo == "md5":
+        return F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(i)), token_col)), 1, 15
+        )
+    raise ValueError(f"unknown hash_algo {hash_algo!r}")
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "id", n_hashes: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    n_hashes: int = 32,
+    hash_algo: str = "xx64",
 ) -> DataFrame:
     """(id, h0..h{n-1}) — MinHash over the distinct token set, one seeded
-    xxhash64 min-aggregate per permutation (all JVM-side)."""
+    hash min-aggregate per permutation (all JVM-side)."""
     toks = _tokens(df, text_col, id_col)
     aggs = [
-        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+        F.min(_seeded_hash(F.col("token"), i, hash_algo)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return toks.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, n_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    bucket: str = "hash",
 ) -> DataFrame:
     """(id_a, id_b, n_bands_shared) — pairs hashing to the same LSH bucket
     in ≥1 band. rows_per_band = n_hashes // bands; collision prob for
-    Jaccard s is 1-(1-s^r)^b (Broder/LSH standard)."""
+    Jaccard s is 1-(1-s^r)^b (Broder/LSH standard).
+
+    ``bucket="hash"`` re-hashes the band slice to one 64-bit key (cheapest
+    shuffle key); ``bucket="concat"`` joins the slice values verbatim —
+    collision-free and SQL-reproducible (used by the oracle query)."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
+        key = F.xxhash64(*cols) if bucket == "hash" else F.concat_ws("|", *cols)
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bucket")))
     buckets = (
         signatures.select("id", F.explode(F.array(*band_cols)).alias("bb"))
         .select(
@@ -102,15 +128,39 @@ def minhash_jaccard_estimate(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "id") -> DataFrame:
-    """(id, simhash) — 64-bit Charikar signature: bit i of xxhash64(token)
-    votes +1/-1; signature bit = sign of the vote sum."""
-    toks = _tokens(df, text_col, id_col).withColumn("h", F.xxhash64("token"))
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    hash_algo: str = "xx64",
+) -> DataFrame:
+    """(id, simhash) — 64-bit Charikar signature: bit i of hash(token)
+    votes +1/-1; signature bit = sign of the vote sum.
+
+    ``hash_algo="md5"`` derives bit i from hex nibble i//4 of md5(token)
+    (bit i%4 within the nibble) — the same bits a DuckDB oracle computes
+    via strpos/shift, making the operator value-checkable end to end."""
+    toks = _tokens(df, text_col, id_col)
+    if hash_algo == "xx64":
+        toks = toks.withColumn("h", F.xxhash64("token"))
+
+        def bit(i):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
+    elif hash_algo == "md5":
+        toks = toks.withColumn("h", F.md5("token"))
+
+        def bit(i):
+            nibble = F.conv(F.substring(F.col("h"), i // 4 + 1, 1), 16, 10).cast(
+                "int"
+            )
+            return F.shiftright(nibble, i % 4).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown hash_algo {hash_algo!r}")
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            ).alias(f"v{i}")
+            F.sum((bit(i) * 2 - 1).cast("long")).alias(f"v{i}")
             for i in range(64)
         ]
     )

@@ -47,6 +47,7 @@ def score_pairs(
     vectors: DataFrame,
     conversations: DataFrame | None = None,
     cfg: PipelineConfig | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(conv_id_a, conv_id_b, cosine[, jw], is_match).
 
@@ -79,12 +80,42 @@ def score_pairs(
     wb = vectors.select(
         F.col("conv_id").alias("conv_id_b"), F.explode("vec").alias("token", "w_b")
     )
-    dots = (
-        pairs.join(wa, "conv_id_a")
-        .join(wb, ["conv_id_b", "token"])
-        .groupBy("conv_id_a", "conv_id_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
-    )
+    matched_w = pairs.join(wa, "conv_id_a").join(wb, ["conv_id_b", "token"])
+    if cfg.use_coord_density and tokens is not None:
+        # Reference ranking parity (/root/reference/core/similarity.go:
+        # 502-516): each matched TEXT term's doc-side weight is scaled by
+        # the pair's coord·density before entering the cosine sums; typed
+        # structural terms keep coord=density=1 (:505-508). coord/density
+        # are pair-level constants over text terms, so scaling the text
+        # part of the dot product by coord·density is exact for the cross
+        # term. Per-doc norms stay static (they cannot be pair-
+        # conditional in a precomputed-vector design; the reference's
+        # sumDD quantization is one of its documented quirks, SURVEY
+        # §2.9 — F1 is the gate, not score bit-equality).
+        is_text = ~F.col("token").rlike(r"^(role|tool|nturns):")
+        prod = F.col("w_a") * F.col("w_b")
+        dots_split = matched_w.groupBy("conv_id_a", "conv_id_b").agg(
+            F.sum(F.when(is_text, prod).otherwise(F.lit(0.0))).alias("dot_text"),
+            F.sum(F.when(~is_text, prod).otherwise(F.lit(0.0))).alias("dot_typed"),
+        )
+        cd = coord_density(pairs, tokens).select(
+            "conv_id_a", "conv_id_b", "coord", "density"
+        )
+        dots = (
+            dots_split.join(cd, ["conv_id_a", "conv_id_b"], "left")
+            .withColumn(
+                "dot",
+                F.col("dot_text")
+                * F.coalesce(F.col("coord"), F.lit(1.0))
+                * F.coalesce(F.col("density"), F.lit(1.0))
+                + F.col("dot_typed"),
+            )
+            .select("conv_id_a", "conv_id_b", "dot")
+        )
+    else:
+        dots = matched_w.groupBy("conv_id_a", "conv_id_b").agg(
+            F.sum(F.col("w_a") * F.col("w_b")).alias("dot")
+        )
     # nturns near-miss (reference road-number analog, C14 conditional
     # half, /root/reference/core/similarity.go:305-316): when the two
     # sides' nturns BUCKETS differ, the equi-join above contributes

@@ -60,6 +60,9 @@ def run_pipeline(
     durable + resumable; None keeps the whole thing one in-memory DAG.
     """
     cfg = cfg or PipelineConfig()
+    import time
+
+    stage_sec: dict[str, float] = {}
 
     def ckpt(name: str, thunk) -> DataFrame:
         """Durable stage when a checkpointer is given; a completed stage is
@@ -71,18 +74,22 @@ def run_pipeline(
         consumer. Materialization is forced (count) because a lazily
         persisted frame still races: one action triggering both sides of a
         downstream self-join schedules both before the cache exists."""
+        t0 = time.monotonic()
         if checkpointer is None:
             out = thunk().persist()
             out.count()
-            return out
-        if checkpointer.is_complete(name):
-            return checkpointer.stage(name, None)
-        return checkpointer.stage(name, thunk())
+        elif checkpointer.is_complete(name):
+            out = checkpointer.stage(name, None)
+        else:
+            out = checkpointer.stage(name, thunk())
+        stage_sec[name] = round(time.monotonic() - t0, 3)
+        return out
 
     conversations = ckpt("conversations", lambda: canonicalize(transcripts, cfg))
     reps = ckpt("representatives", lambda: dedup_exact(conversations))
     dup_edges = exact_dup_edges(conversations)
 
+    t_tok = __import__("time").monotonic()
     if cfg.use_structure:
         # reference C14: typed structural terms (role:/tool:/nturns:) join
         # the token namespace and each token's weight is scaled by its
@@ -97,12 +104,22 @@ def run_pipeline(
         tokens = tokens.persist()  # feeds idf, vectors, and postings
         tokens.count()
     n_docs = reps.count()
+    stage_sec["tokenize"] = round(time.monotonic() - t_tok, 3)
     idf = ckpt("idf", lambda: idf_table(tokens, n_docs, cfg))
     vectors = ckpt("vectors", lambda: tfidf_vectors(tokens, idf, cfg))
 
     post = ckpt("postings", lambda: postings(tokens, idf, cfg))
     pairs = ckpt("candidate_pairs", lambda: candidate_pairs(post, cfg))
-    scored = ckpt("scored_pairs", lambda: score_pairs(pairs, vectors, reps, cfg))
+    scored = ckpt(
+        "scored_pairs",
+        lambda: score_pairs(
+            pairs,
+            vectors,
+            reps,
+            cfg,
+            tokens=tokens if cfg.use_coord_density else None,
+        ),
+    )
 
     edges = ckpt(
         "edges",
@@ -129,7 +146,7 @@ def run_pipeline(
         dup_edges=dup_edges,
         edges=edges,
         clusters=clusters,
-        metrics={"n_docs": n_docs},
+        metrics={"n_docs": n_docs, "stage_sec": stage_sec},
     )
 
 

@@ -39,6 +39,22 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+#: dependency order of run_pipeline's stages — invalidating stage k
+#: cascades to every stage after it (a mid-pipeline recompute must never
+#: be mixed with stale downstream checkpoints)
+PIPELINE_STAGE_ORDER = (
+    "conversations",
+    "representatives",
+    "idf",
+    "vectors",
+    "postings",
+    "candidate_pairs",
+    "scored_pairs",
+    "edges",
+    "clusters",
+)
+
+
 class Checkpointer:
     """Stage-durable execution with resume.
 
@@ -52,11 +68,13 @@ class Checkpointer:
         root: str,
         run_id: str = "run0",
         fmt: str = "parquet",
+        stage_order: tuple[str, ...] = PIPELINE_STAGE_ORDER,
     ) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
         self.run_id = run_id
         self.fmt = fmt
+        self.stage_order = stage_order
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
 
@@ -130,9 +148,21 @@ class Checkpointer:
     def metrics(self) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self._ledger("_metrics"))
 
-    def invalidate(self, stage: str) -> None:
-        """Drop a stage's completion marker so the next run recomputes it
-        (and everything downstream that reads it)."""
-        marker = os.path.join(self._path(stage), "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+    def invalidate(self, stage: str, cascade: bool = True) -> None:
+        """Drop a stage's completion marker so the next run recomputes it.
+
+        ``cascade=True`` (default, round-2 fix) also invalidates every
+        LATER stage in ``stage_order``: run_pipeline's ``ckpt()`` reads
+        back any complete stage without looking at its inputs, so leaving
+        downstream markers in place would silently mix a recomputed
+        upstream with stale downstream checkpoints. A stage not in
+        ``stage_order`` (ad-hoc use) invalidates only itself.
+        """
+        targets = [stage]
+        if cascade and stage in self.stage_order:
+            i = self.stage_order.index(stage)
+            targets = list(self.stage_order[i:])
+        for s in targets:
+            marker = os.path.join(self._path(s), "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)

@@ -14,15 +14,26 @@ transcripts/conversations layout the batch pipeline reads.
 
 Scale notes
 -----------
-- ``streaming_exact_dedup`` keys state by sha256(conv_id, turn text) with a
-  watermark so state is bounded — the streaming twin of the batch
-  hash-dedup (the reference's Bloom filter, bounded at n=1e6 keys; state
-  store + watermark removes that ceiling).
-- ``streaming_canonicalize`` is a watermarked groupBy(conv_id) in append
-  mode: a conversation is emitted once its event-time window closes (late
-  turns beyond the watermark are dropped — the documented late-data
-  policy; re-opening closed conversations is a batch re-run over the
-  affected conv_ids, found by anti-join on the lineage ledger).
+- ``streaming_exact_dedup`` keys state by sha256(conv_id, turn_idx, text)
+  via ``dropDuplicatesWithinWatermark`` so the state store actually
+  EVICTS keys older than the watermark horizon (round-2 fix: plain
+  ``dropDuplicates`` on a non-event-time subset never evicts — unbounded
+  state on a long-running stream). The streaming twin of the batch
+  hash-dedup / the reference's Bloom filter (bounded at n=1e6 keys;
+  state store + watermark removes that ceiling).
+- ``streaming_canonicalize`` groups by ``(conv_id, session_window(ts))``
+  in append mode: a conversation emits ONE canonical row per activity
+  session, where the session keeps extending as long as consecutive
+  turns arrive within ``gap`` of each other — a conversation spanning
+  many hours of steady activity stays one row (round-2 fix: the previous
+  fixed ``window(ts, watermark)`` split any conversation straddling an
+  aligned boundary into multiple rows with the same conv_id, violating
+  the one-row-per-conversation layout downstream batch stages read).
+  A conversation only splits if its turns pause for longer than ``gap``
+  — that split is inherent to append-mode streaming (state must be
+  emittable); re-unifying dormant-then-resumed conversations is a batch
+  re-run over the affected conv_ids, found by anti-join on the lineage
+  ledger (the documented late-data policy).
 """
 
 from __future__ import annotations
@@ -60,25 +71,36 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataF
             256,
         ),
     )
-    return keyed.withWatermark("ts", watermark).dropDuplicates(["turn_hash"]).drop(
-        "turn_hash"
+    # dropDuplicatesWithinWatermark (not dropDuplicates): dedup state for a
+    # key is evicted once the watermark passes its event time — bounded
+    # state on an unbounded stream. Plain dropDuplicates on a subset
+    # without the event-time column keeps every key forever.
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["turn_hash"])
+        .drop("turn_hash")
     )
 
 
-def streaming_canonicalize(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Watermarked per-conversation canonicalization (append mode).
+def streaming_canonicalize(
+    stream: DataFrame, watermark: str = "1 hour", gap: str = "1 hour"
+) -> DataFrame:
+    """Session-windowed per-conversation canonicalization (append mode).
 
     Same invariant as the batch stage (stable turn ordering, per-turn text
     equality): turns are collected with their turn_idx and array_sort'ed
-    inside the aggregate, never left to arrival order. Emits when the
-    max-ts window closes under the watermark.
+    inside the aggregate, never left to arrival order. A session keeps
+    extending while consecutive turns arrive within ``gap``, so one
+    active conversation = one emitted row no matter how long it runs
+    (see module docstring); the row emits once the watermark passes the
+    session's close.
     """
     turn = F.struct(
         F.col("turn_idx").alias("turn_idx"), F.col("text").alias("text")
     )
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.col("conv_id"), F.window("ts", watermark).alias("w"))
+        .groupBy(F.col("conv_id"), F.session_window(F.col("ts"), gap).alias("w"))
         .agg(
             F.array_sort(F.collect_list(turn)).alias("turns"),
             F.count(F.lit(1)).cast("int").alias("n_turns"),

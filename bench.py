@@ -31,8 +31,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: synthetic-entity count per SF tier (pipeline input ≈ 4.5 convs/entity)
-ER_ENTITIES = {"sf0.001": 60, "sf0.01": 150, "sf0.1": 400}
+#: synthetic-entity count per SF tier (pipeline input ≈ 4.5 convs/entity).
+#: sf0.1 is sized so the headline measures THROUGHPUT, not the ~60 s
+#: data-independent driver setup (round-1 lesson: 400 entities made the
+#: constant ~50% of wall and er_pairs_per_sec meaningless).
+ER_ENTITIES = {"sf0.001": 60, "sf0.01": 500, "sf0.1": 5000}
 
 BENCH_QUERIES = [
     "tfidf_top1_similar",
@@ -93,9 +96,11 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
 
     t0 = time.monotonic()
     result = run_pipeline(transcripts)
+    t_pipe = time.monotonic() - t0
     n_pairs_scored = result.scored.count()
     n_clusters = result.clusters.select("entity_id").distinct().count()
     wall = time.monotonic() - t0
+    result.metrics["stage_sec"]["final_counts"] = round(wall - t_pipe, 3)
 
     f1 = pairwise_f1(labeled_pairs, result.clusters)["f1"]
     return {
@@ -106,6 +111,7 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
         "turns_per_sec": n_turns / wall if wall > 0 else 0.0,
         "n_clusters": n_clusters,
         "f1": round(f1, 4),
+        "stage_sec": result.metrics.get("stage_sec", {}),
     }
 
 
@@ -233,6 +239,7 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
         "er_pairs_per_sec": round(er["pairs_per_sec"], 1),
         "er_turns_per_sec": round(er["turns_per_sec"], 1),
         "er_f1": er["f1"],
+        "er_stage_sec": er["stage_sec"],
     }
     print(json.dumps(out))
     spark.stop()

@@ -74,6 +74,23 @@ def test_invalidate_forces_recompute(spark, tiny_tables, tmp_path):
     assert res.clusters.count() > 0
 
 
+def test_invalidate_cascades_downstream(spark, tiny_tables, tmp_path):
+    """Invalidating a MID-pipeline stage recomputes it AND every later
+    stage (round-2 fix: stale downstream checkpoints must never be mixed
+    with a recomputed upstream)."""
+    root = str(tmp_path / "ck4")
+    ck1 = Checkpointer(spark, root, run_id="r1")
+    run_pipeline(tiny_tables["transcripts"], checkpointer=ck1)
+
+    ck2 = Checkpointer(spark, root, run_id="r1")
+    ck2.invalidate("idf")  # cascade=True default
+    res = run_pipeline(tiny_tables["transcripts"], checkpointer=ck2)
+    i = STAGES.index("idf")
+    assert ck2.stages_run == STAGES[i:]
+    assert set(ck2.stages_resumed) == set(STAGES[:i])
+    assert res.clusters.count() > 0
+
+
 def test_checkpoint_stage_output_matches_direct(spark, tiny_tables, tmp_path):
     """Durable stage ≡ in-memory stage (same rows)."""
     direct = run_pipeline(tiny_tables["transcripts"])

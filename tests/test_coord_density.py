@@ -42,3 +42,40 @@ def test_no_overlap_pair_absent(spark):
     tokens = spark.createDataFrame(rows, "conv_id string, pos int, token string")
     pairs = spark.createDataFrame([("a", "b")], "conv_id_a string, conv_id_b string")
     assert coord_density(pairs, tokens).count() == 0
+
+
+def test_coord_density_folded_into_cosine(spark):
+    """use_coord_density=True reproduces the reference's ranking semantics
+    (similarity.go:502-516): a pair whose side-a text terms match but are
+    SCATTERED (low coord/density) scores strictly below the same pair
+    under plain cosine; a fully-dense pair is unchanged."""
+    from address_match_recommend_spark.config import PipelineConfig
+    from address_match_recommend_spark.functions.tokenize import explode_tokens
+    from address_match_recommend_spark.operators.scoring import score_pairs
+    from address_match_recommend_spark.operators.tfidf import idf_table, tfidf_vectors
+
+    rows = [
+        ("a", "alpha junk1 beta junk2 gamma junk3 delta"),  # scattered
+        ("b", "alpha beta gamma delta"),
+        ("c", "completely different words here now"),
+        ("d", "more unrelated filler text one"),
+        ("e", "yet another distractor document two"),
+        ("f", "final noise entry three"),
+    ]  # N=6 so shared-token idf = ln(6/3) > 0
+    conv = spark.createDataFrame(rows, "conv_id string, canonical_text string")
+    cfg_plain = PipelineConfig(use_tf=False, tau_lo=0.0)
+    cfg_cd = PipelineConfig(use_tf=False, tau_lo=0.0, use_coord_density=True)
+    tokens = explode_tokens(conv).persist()
+    tokens.count()
+    idf = idf_table(tokens, 6)
+    vec = tfidf_vectors(tokens, idf, cfg_plain).persist()
+    vec.count()
+    pairs = spark.createDataFrame([("a", "b")], "conv_id_a string, conv_id_b string")
+    plain = score_pairs(pairs, vec, None, cfg_plain).first()["cosine"]
+    folded = score_pairs(pairs, vec, None, cfg_cd, tokens=tokens).first()["cosine"]
+    assert folded < plain
+    # expected multiplier: coord = density = sqrt(4/7)*0.5+0.5 over side a
+    import math
+
+    m = (math.sqrt(4 / 7) * 0.5 + 0.5) ** 2
+    assert abs(folded - plain * m) < 1e-9

@@ -48,3 +48,64 @@ def test_overlapping_entries_consume_longest(spark):
     # 'san francisco' consumed first (longest at pos 0) -> 'francisco bay'
     # can't match inside it; 'bay area' still matches after
     assert got == {"san francisco", "bay area"}
+
+
+# ---------------------------------------------------------------------------
+# hierarchical disambiguation — analog of the reference's hard trie cases
+# (/root/reference/index/index_test.go:10-56: same village name under
+# different towns, resolved by the already-matched parent path)
+# ---------------------------------------------------------------------------
+
+HIER = [
+    # (term, node_id, parent_id) — two orgs, each with a team and tools;
+    # 'deploy' and 'rollback' are ambiguous across orgs
+    ("acme", "org.acme", None),
+    ("beta", "org.beta", None),
+    ("platform", "team.acme.platform", "org.acme"),
+    ("platform", "team.beta.platform", "org.beta"),
+    ("deploy", "tool.acme.deploy", "team.acme.platform"),
+    ("deploy", "tool.beta.deploy", "team.beta.platform"),
+    ("rollback", "tool.acme.rollback", "team.acme.platform"),
+]
+
+
+def _hier_hits(spark, text):
+    from address_match_recommend_spark.functions.dictmatch import (
+        extract_hierarchical_terms,
+    )
+
+    df = spark.createDataFrame([("c1", text)], "conv_id string, canonical_text string")
+    return {
+        (r["term"], r["label"]) for r in extract_hierarchical_terms(df, HIER).collect()
+    }
+
+
+def test_hier_exact_child_wins(spark):
+    """'platform deploy' inside an acme conversation resolves to the acme
+    tool (visitor priority 1: exact child of the matched parent)."""
+    got = _hier_hits(spark, "acme platform deploy")
+    assert ("deploy", "tool.acme.deploy") in got
+    assert ("platform", "team.acme.platform") in got
+
+
+def test_hier_other_branch(spark):
+    got = _hier_hits(spark, "beta platform deploy")
+    assert ("deploy", "tool.beta.deploy") in got
+    assert ("platform", "team.beta.platform") in got
+
+
+def test_hier_missing_level_bridge(spark):
+    """'acme ... deploy' with the team level unnamed still resolves deploy
+    to the acme branch (visitor priority 2: an ancestor — grandparent —
+    already matched bridges the missing level; reference case: province +
+    district with the city unnamed, index_test.go:10-56)."""
+    got = _hier_hits(spark, "acme says deploy now")
+    assert ("deploy", "tool.acme.deploy") in got
+
+
+def test_hier_repeat_and_fallback(spark):
+    """Unanchored ambiguous term falls back to first-indexed item
+    (priority 4), and a re-mention keeps the same resolution
+    (priority 3)."""
+    got = _hier_hits(spark, "deploy then deploy again")
+    assert got == {("deploy", "tool.acme.deploy")}
