@@ -78,8 +78,9 @@ def _shingle_pairs(conv: DataFrame, min_df: int = 2, max_df: int = 50) -> DataFr
     ).persist()  # read by the df-count agg AND both self-join sides
     sh.count()  # populate before the self-join schedules both sides
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # no forced broadcast (O(unique shingles) table — AQE decides)
     post = sh.join(
-        F.broadcast(sdf.filter((F.col("sdf") >= min_df) & (F.col("sdf") <= max_df))),
+        sdf.filter((F.col("sdf") >= min_df) & (F.col("sdf") <= max_df)),
         "shingle",
     )
     a, b = post.alias("a"), post.alias("b")

@@ -46,11 +46,11 @@ def postings(
     blockable = idf.filter(
         (F.col("df") >= cfg.min_block_df) & (F.col("df") <= cfg.max_block_df)
     ).select("token", "df")
-    post = (
-        tokens.select("conv_id", "token")
-        .distinct()
-        .join(F.broadcast(blockable), "token")
-    )
+    # No forced broadcast: `blockable` is O(vocab) — tiny here, but a
+    # heavy-tailed 10^12-turn vocabulary makes the df∈[2,200] band the
+    # BULK of the vocab. AQE broadcasts automatically while it fits under
+    # autoBroadcastJoinThreshold and falls back to a shuffled join beyond.
+    post = tokens.select("conv_id", "token").distinct().join(blockable, "token")
     if cfg.max_block_tokens_per_conv:
         w = Window.partitionBy("conv_id").orderBy(F.asc("df"), F.asc("token"))
         post = (

@@ -90,19 +90,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # Shuffle width inside the loop is right-sized per QUERY by AQE
-    # partition coalescing (session.py enables it), not by mutating the
-    # session-global spark.sql.shuffle.partitions — the round-1 global
-    # mutation raced any concurrent job on the same session. A 10k-edge
-    # iteration coalesces to a handful of reduce tasks automatically; a
-    # 10^10-edge iteration keeps the full configured width.
-    prev_sig = None
-    for _ in range(cfg.max_cc_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        sig = _signature(e)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # Right-size the loop's shuffle width to the edge count: every
+    # iteration is 2 shuffles + a checkpoint + a collect, and running a
+    # 10k-edge iteration at the corpus-wide partition count pays ~100×
+    # more task-scheduling overhead than data processing (measured 2.2×
+    # on the whole loop). ~250k edges per partition keeps partitions in
+    # memory at any scale. CAVEAT: spark.sql.shuffle.partitions is
+    # session-global, so the temporary override below is visible to any
+    # query that starts on this session DURING the loop — the pipeline
+    # is strictly sequential so this never happens here; callers running
+    # concurrent queries on a shared session should clone a session
+    # (spark.newSession()) for the CC call. (AQE advisory-size
+    # coalescing was tried as a race-free alternative and rejected: it
+    # also coalesced the compute-heavy scoring shuffles and wrecked
+    # their core scaling — see session.py.)
+    n_edges = e.count()
+    parts = max(4, min(cfg.shuffle_partitions, 1 + n_edges // 250_000))
+    spark = e.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        prev_sig = None
+        for _ in range(cfg.max_cc_iterations):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            sig = _signature(e)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
 
     # converged edge set is a forest of stars child → root
     assign = e.groupBy("u").agg(F.min("v").alias("entity_id"))

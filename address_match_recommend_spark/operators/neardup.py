@@ -271,8 +271,10 @@ def ngram_jaccard_pairs(
     # persist each side re-executes the whole shingle scan (self-joins never
     # share an unmaterialized upstream). At pipeline scale this table is
     # checkpointed instead (sources/checkpoint.py); persist spills to disk.
+    # no forced broadcast: the df-capped shingle table is O(unique
+    # shingles) — AQE picks broadcast while it fits, shuffle join beyond
     usable = shingles.join(
-        F.broadcast(df_counts.filter(F.col("sdf") <= max_shingle_df)), "shingle"
+        df_counts.filter(F.col("sdf") <= max_shingle_df), "shingle"
     ).persist()
     usable.count()  # populate before the self-join schedules both sides
     a, b = usable.alias("a"), usable.alias("b")

@@ -90,6 +90,11 @@ def tfidf_vectors(
     if has_boost:
         aggs.append(F.max("boost").alias("boost"))
     counts = tokens.groupBy("conv_id", "token").agg(*aggs)
+    # The IDF broadcast is a north-rule mandate ("broadcast of the IDF
+    # dictionary"). Its size is O(vocab) — bounded in practice by the
+    # token pattern (words, not ids) and by min-df pruning upstream; on a
+    # corpus whose raw vocabulary outgrows executor memory, drop this
+    # hint and AQE falls back to a shuffled join.
     weighted = counts.join(F.broadcast(idf.select("token", "idf")), "token", "left")
     # unseen tokens (scoring a corpus against a previously-fit IDF table)
     weighted = weighted.withColumn(

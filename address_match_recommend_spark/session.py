@@ -43,14 +43,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Honor advisoryPartitionSizeInBytes when coalescing instead of
-        # maximizing parallelism: a tiny shuffle (e.g. one connected-
-        # components iteration late in convergence) collapses to 1-2 tasks
-        # instead of fanning out 32 near-empty ones (measured 2.2× on the
-        # CC loop), while a 100 TB shuffle still gets thousands of
-        # advisory-sized partitions. This replaces round-1's racy
-        # session-global shuffle.partitions mutation inside the CC loop.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its default (true): an experiment with
+        # false (honor the 64 MB advisory size) made the tiny CC-loop
+        # shuffles collapse nicely to 1-2 tasks (2.2× on that loop) but
+        # ALSO coalesced the ~100-200 MB pair-scoring shuffles — whose
+        # rows are compute-expensive, not byte-heavy — to a handful of
+        # tasks, wrecking the scoring stage's core scaling (stage wall
+        # 600-1200 s vs 84-216 s measured at the same 20k-entity corpus).
+        # Byte-based sizing is the wrong proxy when cost-per-row dominates;
+        # the CC loop instead right-sizes its own shuffle width (see
+        # operators/clustering.py).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")

@@ -115,6 +115,19 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     }
 
 
+def _cpu_calibration(seconds: float = 2.0) -> float:
+    """Single-core busy-loop iterations/sec measured in-process. The
+    sandbox host throttles guest CPU in bursts (same stage measured 2-4×
+    apart at identical config), so every timed run records the host's
+    CURRENT throughput; scaling analysis can then drop or normalize runs
+    taken in a throttled window instead of averaging noise."""
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        n += 1
+    return n / seconds
+
+
 def run_er_scoring_timed(spark) -> dict:
     """Build the pipeline front-half (canonicalize → pairs) UNTIMED, then
     time the compute back-half: pair scoring + JW + edge build + connected
@@ -168,6 +181,7 @@ def run_er_scoring_timed(spark) -> dict:
 
     spark.range(64).select(make_jw_udf(8)(F.lit("ab"), F.lit("ac"))).count()
 
+    calib = _cpu_calibration()
     t0 = time.monotonic()
     scored = score_pairs(pairs, vec, reps, cfg)
     match_edges = scored.filter(F.col("is_match")).select("conv_id_a", "conv_id_b")
@@ -177,6 +191,7 @@ def run_er_scoring_timed(spark) -> dict:
     clusters = assign_entities(conv, comp)
     n_clusters = clusters.select("entity_id").distinct().count()
     wall = time.monotonic() - t0
+    calib_after = _cpu_calibration()
     n_scored = scored.count()
     return {
         "sec": wall,
@@ -184,6 +199,8 @@ def run_er_scoring_timed(spark) -> dict:
         "pairs_per_sec": n_scored / wall if wall else 0.0,
         "n_candidate_pairs": n_pairs,
         "n_clusters": n_clusters,
+        "calib_before": round(calib),
+        "calib_after": round(calib_after),
     }
 
 
@@ -206,6 +223,8 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
             "cpus": CPUS,
             "er_pairs_scored": r["pairs_scored"],
             "er_pairs_per_sec": round(r["pairs_per_sec"], 1),
+            "calib_before": r["calib_before"],
+            "calib_after": r["calib_after"],
         }))
         spark.stop()
         return
