@@ -47,13 +47,25 @@ class PipelineConfig:
     #: candidate-pair budget per record
     max_block_tokens_per_conv: int = 24
     #: candidate pairs must share at least this many RAW blockable tokens
-    #: (counted pre-salt; pairs matched through a salted key always
-    #: qualify — see operators/blocking.py). True duplicates share many
-    #: rare tokens; pairs sharing exactly one cold token are
-    #: overwhelmingly noise that cosine would reject anyway — filtering
-    #: them BEFORE the vector join removes ~90% of the scoring work
-    #: (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
+    #: (counted pre-salt via the join-back — see operators/blocking.py).
+    #: True duplicates share many rare tokens; pairs sharing exactly one
+    #: cold token are overwhelmingly noise that cosine would reject anyway
+    #: — filtering them BEFORE the vector join removes ~90% of the scoring
+    #: work (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
     min_shared_tokens: int = 2
+    #: reference-parity recall mode: admit a pair on a single shared
+    #: SALTED blocking key even below min_shared_tokens (the reference
+    #: admits candidates on one shared key, /root/reference/core/
+    #: similarity.go:74-79). Off by default — the round-2 unconditional
+    #: bypass re-admitted unbounded noise from hot tokens: one token with
+    #: df=10^6 and salt_bucket=50 yields ~2·10^4 sub-blocks × ~1,225 pairs
+    #: ≈ 2.5·10^7 single-shared-hot-token pairs PER HOT TOKEN, all
+    #: forwarded to the dominant-cost scoring stage. Cost envelope when
+    #: on: ≤ salt_bucket·(salt_bucket−1)/2 · ceil(df/salt_bucket) extra
+    #: pairs per hot token, i.e. O(df·salt_bucket/2) — linear in df, not
+    #: quadratic, but unbounded across hot tokens. Turn on only when
+    #: recall of single-hot-token matches matters more than scoring cost.
+    admit_single_salted: bool = False
 
     # --- structure-aware scoring (reference C14 boosts) ---
     #: tokenize with typed structural tokens (role:/tool:/nturns:) and

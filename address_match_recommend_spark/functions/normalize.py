@@ -76,14 +76,46 @@ def extract_cascade(col: Column, patterns: list[str]) -> Column:
 def remove_first_match(col: Column, patterns: list[str]) -> Column:
     """Residual text after deleting the cascade's winning match — the
     'matched span is removed from the text' half of every reference
-    extractor."""
+    extractor.
+
+    Round-3 fix (ADVICE r2): deletes only the FIRST occurrence of the
+    winning pattern's extracted span, matching ``extract_cascade`` which
+    extracts only the first match — a global regexp_replace silently
+    dropped spans that were never extracted. Implementation: locate the
+    extracted span literally (``instr``) and splice it out with
+    ``overlay``. The literal first occurrence coincides with the regex
+    match except for context-anchored patterns whose matched string also
+    appears earlier unmatched — acceptable for the extractor cascade's
+    self-contained patterns, and exact for the reference's (the Go code
+    removes by matched-span position, core/interpreter.go:218-312)."""
     # apply only the first matching pattern: when pattern i matches,
-    # delete it and stop (nested whens mirror the Go early-return)
+    # delete its first occurrence and stop (nested whens mirror the Go
+    # early-return)
     result = col
     for pat in reversed(patterns):
         m = F.regexp_extract(col, pat, 0)
-        result = F.when(m != "", F.regexp_replace(col, pat, "")).otherwise(result)
+        pos = F.instr(col, m)
+        spliced = F.overlay(col, F.lit(""), pos, F.length(m))
+        result = F.when((m != "") & (pos > 0), spliced).otherwise(result)
     return result
+
+
+def remove_repeated_span(col: Column, span: Column) -> Column:
+    """C6 ``removeRedundancy`` analog (/root/reference/core/interpreter.go:
+    393-450): the reference re-scans the residual text for a repeated
+    mention of an already-extracted span (province/city re-stated mid-
+    address) and deletes the redundant occurrence. Transcript analog: a
+    span already extracted from the conversation (a quoted system
+    preamble, a replayed tool tag) re-occurring in the residual carries
+    no similarity signal — delete every literal occurrence of it.
+
+    ``span`` is the already-extracted text (every occurrence left in the
+    residual is by definition redundant — the extraction consumed the
+    authoritative one). Empty/null spans leave the text unchanged.
+    JVM-side only: one ``replace`` call inside whole-stage codegen."""
+    return F.when(
+        span.isNull() | (span == ""), col
+    ).otherwise(F.replace(col, span, F.lit("")))
 
 
 def collapse_repeat_digits(col: Column, n: int = 6) -> Column:

@@ -68,20 +68,25 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     salt = pmod(xxhash64(conv_id), ceil(df / salt_bucket)) — deterministic
     per conv_id so both members of a sub-block agree on the key.
 
-    ``min_shared_tokens`` semantics (round-2 fix of a real recall bug):
+    ``min_shared_tokens`` semantics (round-2 fix of a real recall bug,
+    round-3 fix of the resulting cost bug):
     the threshold counts **raw shared blockable tokens, pre-salt** — NOT
     shared (token, salt) keys. Counting post-salt keys undercounts pairs
-    whose shared tokens land in different salt sub-blocks and zeroed out
-    blocks where documents share only one hot token. Two rules now:
+    whose shared tokens land in different salt sub-blocks. Two rules:
 
     1. pair *generation* stays salted (the fan-out bound is untouched);
     2. a generated pair qualifies when its TRUE shared-token count (a
        join-back of pairs against the unsalted postings — bounded by
-       |pairs| × tokens-per-conv) meets the threshold, OR when the pair
-       was matched through a salted key: salting already applied a 1/S
-       random co-bucket filter, and the reference admits candidates on a
-       single shared blocking key (/root/reference/core/similarity.go:74-79)
-       — the cosine threshold downstream is the real precision gate.
+       |pairs| × tokens-per-conv) meets the threshold. The count includes
+       hot tokens (the join-back is pre-salt), so a pair sharing one hot
+       token plus any other blockable token passes threshold 2.
+
+    Pairs sharing ONLY one salted hot token are admitted only under
+    ``cfg.admit_single_salted`` (reference parity: one shared blocking
+    key suffices, /root/reference/core/similarity.go:74-79). The round-2
+    unconditional bypass re-admitted unbounded hot-token noise into the
+    dominant-cost scoring stage — see the cost envelope on the config
+    field; threshold now applies uniformly to the true count by default.
     """
     cfg = cfg or PipelineConfig()
     n_salts = F.greatest(
@@ -134,6 +139,7 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
             F.max("via_salted").alias("via_salted"),
         )
     )
-    return counted.filter(
-        F.col("via_salted") | (F.col("n_shared") >= cfg.min_shared_tokens)
-    ).select("conv_id_a", "conv_id_b")
+    qualifies = F.col("n_shared") >= cfg.min_shared_tokens
+    if cfg.admit_single_salted:
+        qualifies = qualifies | F.col("via_salted")
+    return counted.filter(qualifies).select("conv_id_a", "conv_id_b")

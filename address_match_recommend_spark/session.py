@@ -72,9 +72,13 @@ def get_spark(
 
 
 def stop_spark() -> None:
-    """Stop the active session (used between scaling-benchmark runs)."""
+    """Stop the active session (used between scaling-benchmark runs).
+
+    No private-attribute surgery (round-3 fix): ``SparkSession.builder``
+    is a fresh Builder per access in PySpark 4, so stopping the session
+    is sufficient for a later ``get_spark`` with a different master; the
+    scaling harness additionally isolates each parallelism level in its
+    own subprocess (bench.py), which is the robust path on any version."""
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    # Clear the JVM-level default session so a fresh master takes effect.
-    SparkSession.builder._options = {}  # type: ignore[attr-defined]

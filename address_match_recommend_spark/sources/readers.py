@@ -84,15 +84,23 @@ def read_transcripts_text(
     to mix in monotonically_increasing_id, which varies with partitioning
     and task retries, so replaying the same file produced fresh conv_ids
     and defeated the incremental plan's anti-join replay guard). Key =
-    sha256(file-basename \\x00 line-content \\x00 occurrence-index), where
+    sha256(file-path \\x00 line-content \\x00 occurrence-index), where
     the occurrence index disambiguates identical lines within one file —
     any assignment of 1..k to k identical lines yields the same SET of
     conv_ids, so two identical imports dedupe exactly.
+
+    The path component is the FULL file URI (round-3 fix, ADVICE r2: the
+    basename alone made two part-00000 files under different
+    subdirectories of one import glob collide, silently merging identical
+    lines across distinct files as replays). Re-importing the same files
+    from the same location still dedupes exactly; moving the files is a
+    new import by design — the incremental anti-join guard operates on
+    content hashes downstream.
     """
     from pyspark.sql import Window
 
     lines = spark.read.text(path).withColumn(
-        "fname", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+        "fname", F.input_file_name()
     )
     occ = F.row_number().over(
         Window.partitionBy("fname", "value").orderBy(F.lit(1))
@@ -120,4 +128,9 @@ def append_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     sandbox; on Iceberg, ``df.writeTo(table).append()`` gives ACID appends
     and snapshot isolation for the incremental re-run (anti-join on
     checkpointed conv_ids finds the new work)."""
-    conform_transcripts(df).write.mode("append").format(fmt).save(path)
+    out = conform_transcripts(df)
+    if fmt == "iceberg":
+        # DataFrameWriterV2: ACID append into a catalog table
+        out.writeTo(path).append()
+    else:
+        out.write.mode("append").format(fmt).save(path)

@@ -115,6 +115,31 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     }
 
 
+def _loadavg1() -> float:
+    """1-minute load average — stamped into every bench JSON so a reader
+    can spot measurements taken under concurrent load (round-3 guard:
+    BENCH_r02 was recorded while background scaling jobs were running,
+    inflating stage walls 4-20×; VERDICT r2 'What's wrong' #1)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
+def _refuse_if_loaded(context: str) -> None:
+    """Refuse to start a scaling recording on a busy machine (override
+    with SPARK_GRAFT_IGNORE_LOAD=1). The per-round driver bench is only
+    stamped, never refused — a refusal there would drop the round's
+    BENCH artifact entirely."""
+    load = _loadavg1()
+    if load > 2.0 and os.environ.get("SPARK_GRAFT_IGNORE_LOAD") != "1":
+        sys.exit(
+            f"{context}: 1-min loadavg {load} > 2.0 — another workload is "
+            "running; a scaling recording now would be contaminated. "
+            "Wait for idle or set SPARK_GRAFT_IGNORE_LOAD=1."
+        )
+
+
 def _cpu_calibration(seconds: float = 2.0) -> float:
     """Single-core busy-loop iterations/sec measured in-process. The
     sandbox host throttles guest CPU in bursts (same stage measured 2-4×
@@ -212,6 +237,7 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     spark = get_spark(app_name=f"bench-{sf_name}", cores=CPUS)
 
+    load_start = _loadavg1()
     if score_only:
         r = run_er_scoring_timed(spark)
         print(json.dumps({
@@ -225,6 +251,7 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
             "er_pairs_per_sec": round(r["pairs_per_sec"], 1),
             "calib_before": r["calib_before"],
             "calib_after": r["calib_after"],
+            "loadavg_start": load_start,
         }))
         spark.stop()
         return
@@ -259,6 +286,8 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
         "er_turns_per_sec": round(er["turns_per_sec"], 1),
         "er_f1": er["f1"],
         "er_stage_sec": er["stage_sec"],
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg1(),
     }
     print(json.dumps(out))
     spark.stop()
@@ -286,6 +315,7 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
     """
     import subprocess
 
+    _refuse_if_loaded("scaling")
     corpus_dir = ensure_corpus_parquet(
         n_entities, f"/tmp/amr_scaling_corpus_{n_entities}"
     )

