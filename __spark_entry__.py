@@ -318,6 +318,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_repeat_digits,
         extract_brackets,
         extract_cascade,
+        prepare_text,
         remove_first_match,
         remove_repeated_span,
         scrub_suffixes,
@@ -325,8 +326,10 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
+    # leading "77x " garbage + dash variants exercise the C1 prepare analog
+    # (trim + dash-table fold, interpreter.go:203-215)
     s = F.concat(
-        F.lit("["),
+        F.lit("77x ["),
         F.col("event_type"),
         F.lit("] step "),
         (F.col("event_id") % 10).cast("string"),
@@ -336,8 +339,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") * 1000000).cast("string"),
         F.lit(" tag "),
         F.col("event_type"),
-        F.lit(" end"),
+        F.lit(" ー_－—/／ end"),
     )
+    s = prepare_text(s)
     brackets = extract_brackets(s)
     # the span already extracted via the brackets — its residual
     # re-mention ("tag <event_type>") is redundancy the reference's C6
@@ -358,10 +362,15 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_NORMALIZE = r"""
 WITH s AS (
   SELECT event_id, event_type AS span,
-         '[' || event_type || '] step ' || CAST(event_id % 10 AS VARCHAR)
-         || ' took ' || CAST(user_id % 100 AS VARCHAR) || 'ms ref '
-         || CAST(event_id * 1000000 AS VARCHAR)
-         || ' tag ' || event_type || ' end' AS t
+         translate(
+           regexp_replace(
+             '77x [' || event_type || '] step '
+             || CAST(event_id % 10 AS VARCHAR)
+             || ' took ' || CAST(user_id % 100 AS VARCHAR) || 'ms ref '
+             || CAST(event_id * 1000000 AS VARCHAR)
+             || ' tag ' || event_type || ' ー_－—/／ end',
+             '^[0-9A-Za-z]+\s*', ''),
+           'ー_－—/／', '------') AS t
   FROM events
 ),
 b AS (

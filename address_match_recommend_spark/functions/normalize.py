@@ -46,6 +46,29 @@ BRACKET_RE = f"[{_OPEN}][^{_CLOSE}]*[{_CLOSE}]"
 FULLWIDTH_DIGITS = "０１２３４５６７８９"
 ASCII_DIGITS = "0123456789"
 
+#: the reference's dash-variant table (prepare, core/interpreter.go:203-215):
+#: CJK long sound mark, underscore, full-width hyphen, em dash, ASCII and
+#: full-width slash — all folded to '-'
+DASH_VARIANTS = "ー_－—/／"
+
+
+def normalize_dashes(col: Column) -> Column:
+    """Fold every dash variant to ASCII '-' — the table-translate half of
+    C1 ``prepare`` (/root/reference/core/interpreter.go:203-215). The
+    reference computes this but discards the result (Go ReplaceAll return
+    value unused — a latent bug, SURVEY §2.9); we implement the documented
+    intent. One ``translate`` inside whole-stage codegen."""
+    return F.translate(col, DASH_VARIANTS, "-" * len(DASH_VARIANTS))
+
+
+def prepare_text(col: Column) -> Column:
+    """C1 ``prepare`` analog (/root/reference/core/interpreter.go:203-215):
+    trim a leading digit/letter garbage run (the reference trims leading
+    digits, letters and punctuation noise before parsing), then normalize
+    dash variants. Transcript analog: strip a leading message-id/counter
+    prefix so it never pollutes blocking tokens."""
+    return normalize_dashes(F.regexp_replace(col, r"^[0-9A-Za-z]+\s*", ""))
+
 
 def extract_brackets(col: Column) -> Column:
     """array<string> of every bracketed span (contents including the

@@ -12,7 +12,9 @@ from address_match_recommend_spark.functions.normalize import (
     collapse_repeat_digits,
     extract_brackets,
     extract_cascade,
+    normalize_dashes,
     normalize_fullwidth,
+    prepare_text,
     remove_first_match,
     scrub_suffixes,
     strip_brackets,
@@ -128,6 +130,21 @@ def test_scrub_suffixes(spark):
 
 def test_normalize_fullwidth(spark):
     assert _one(spark, normalize_fullwidth(F.lit("路１２３号"))) == "路123号"
+
+
+def test_normalize_dashes(spark):
+    """C1 prepare dash table (interpreter.go:203-215): every variant
+    folds to ASCII '-'."""
+    assert _one(spark, normalize_dashes(F.lit("aー b_ c－ d— e/ f／"))) == (
+        "a- b_ c- d- e- f-".replace("_", "-")
+    )
+
+
+def test_prepare_text(spark):
+    """C1 prepare analog: leading alnum garbage trimmed, dashes folded,
+    CJK text untouched."""
+    assert _one(spark, prepare_text(F.lit("77x 中山ー路"))) == "中山-路"
+    assert _one(spark, prepare_text(F.lit("[a] b"))) == "[a] b"
 
 
 def test_cjk_numeral_state_machine():
