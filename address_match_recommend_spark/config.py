@@ -74,6 +74,14 @@ class PipelineConfig:
     #: the nturns near-miss dampening (reference road-number analog,
     #: /root/reference/core/similarity.go:305-316)
     use_structure: bool = False
+    #: closer reference ranking parity (ADVICE r2): dampen the nturns
+    #: cross term whenever RAW turn counts differ, not only when their
+    #: power-of-two buckets differ. The reference dampens any
+    #: RoadNumValue inequality (/root/reference/core/similarity.go:
+    #: 305-316); the default bucket-level behavior keeps the full 3.0
+    #: exact boost for same-bucket pairs (e.g. 9 vs 15 turns). Off by
+    #: default — the F1 gate doesn't need it.
+    nturns_damp_raw: bool = False
     #: reference ranking parity: multiply each matched TEXT term's
     #: doc-side contribution by the pair's coord·density
     #: (/root/reference/core/similarity.go:502-516 — coord/density scale

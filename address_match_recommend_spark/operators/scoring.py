@@ -143,23 +143,30 @@ def score_pairs(
             F.col("n_turns").alias("nt_b"),
             F.col("w_n").alias("w_nb"),
         )
+        damp = nearmiss_boost(F.col("nt_a") - F.col("nt_b")) / F.lit(
+            NTURNS_EXACT_BOOST
+        )
+        bucket_differs = nturns_bucket(F.col("nt_a")) != nturns_bucket(
+            F.col("nt_b")
+        )
+        if cfg.nturns_damp_raw:
+            # reference parity (similarity.go:305-316): ANY raw
+            # inequality dampens. Bucket-equal pairs already received the
+            # full w_na·w_nb through the equi-join, so their adjustment
+            # subtracts it and adds the dampened cross term.
+            inequality = F.col("nt_a") != F.col("nt_b")
+            adj = F.when(
+                bucket_differs, F.col("w_na") * F.col("w_nb") * damp
+            ).otherwise(F.col("w_na") * F.col("w_nb") * (damp - F.lit(1.0)))
+        else:
+            inequality = bucket_differs
+            adj = F.col("w_na") * F.col("w_nb") * damp
         nm = (
             pairs.join(sa, "conv_id_a")
             .join(sb, "conv_id_b")
             .filter(F.col("w_na").isNotNull() & F.col("w_nb").isNotNull())
-            .filter(
-                nturns_bucket(F.col("nt_a")) != nturns_bucket(F.col("nt_b"))
-            )
-            .select(
-                "conv_id_a",
-                "conv_id_b",
-                (
-                    F.col("w_na")
-                    * F.col("w_nb")
-                    * nearmiss_boost(F.col("nt_a") - F.col("nt_b"))
-                    / F.lit(NTURNS_EXACT_BOOST)
-                ).alias("dot_adj"),
-            )
+            .filter(inequality)
+            .select("conv_id_a", "conv_id_b", adj.alias("dot_adj"))
         )
         dots = (
             dots.join(nm, ["conv_id_a", "conv_id_b"], "left")
