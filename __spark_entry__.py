@@ -858,7 +858,11 @@ FROM g GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only driver check)
+# hash-family / iterative operators — value-checked via oracle-friendly
+# modes (md5 hash family for MinHash/SimHash, WITH RECURSIVE label
+# propagation for the ER pipeline's connected components); production
+# defaults (xxhash64, driver-iterated large-star/small-star) are covered
+# by pytest goldens. Since round 3 every queries() entry has an oracle.
 # ---------------------------------------------------------------------------
 
 
@@ -1125,6 +1129,98 @@ LEFT JOIN cd ON cd.a = p.a AND cd.b = p.b
 """
 
 
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append — the reference write path S6 (``ImportAddr``,
+    /root/reference/core/similarity.go:551-581) + §2.7 set ops, value-
+    checked. Prior corpus = documents with doc_id % 10 != 0; the arriving
+    batch = doc_id % 5 == 0, i.e. half replays of already-imported ids
+    (doc_id % 10 == 5 — dropped by the anti-join replay guard) and half
+    genuinely new (doc_id % 10 == 0); of the new half, ids divisible by
+    20 arrive with the TEXT of doc_id−1 (an old-corpus member — the
+    documents table has no natural exact dups). Checked surface: the
+    UPDATED REPRESENTATIVE SET — a replay contributes nothing; a new id
+    whose text exactly duplicates an existing canonical text links to
+    the old representative instead of becoming one (the Bloom fast
+    path, generalized); intra-batch duplicates collapse to their min
+    id."""
+    from address_match_recommend_spark.operators.dedup import dedup_exact
+    from address_match_recommend_spark.plans.incremental import incremental_update
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("ts"),
+        F.col("doc_id"),
+    )
+    old_tr = docs.filter(F.col("doc_id") % 10 != 0).drop("doc_id")
+    donor = docs.filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    ).select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("donor_text"),
+    )
+    new_tr = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(donor, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 20 == 0) & F.col("donor_text").isNotNull(),
+                F.col("donor_text"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("doc_id", "donor_text")
+    )
+    prev_conv = canonicalize(old_tr).localCheckpoint(eager=True)
+    prev_reps = dedup_exact(prev_conv).localCheckpoint(eager=True)
+    prev_tokens = explode_tokens(prev_reps)
+    prev_idf = idf_table(prev_tokens, prev_reps.count())
+    prev_post = postings(prev_tokens, prev_idf)
+    prev_clusters = prev_conv.select(
+        "conv_id", F.col("conv_id").alias("entity_id")
+    )
+    res = incremental_update(
+        prev_conv, prev_reps, prev_idf, prev_post, prev_clusters, new_tr
+    )
+    return res.representatives.select("conv_id", "text_hash")
+
+
+SQL_INCREMENTAL_APPEND = """
+WITH base AS (
+  SELECT 'doc_' || doc_id AS conv_id, doc_id, text FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+),
+old_conv AS (
+  SELECT conv_id, sha256(text) AS text_hash FROM base WHERE doc_id % 10 != 0
+),
+new_batch AS (  -- ids % 20 == 0 arrive carrying doc_id-1's text (planted dups)
+  SELECT b.conv_id,
+         sha256(CASE WHEN b.doc_id % 20 = 0 AND d.text IS NOT NULL
+                     THEN d.text ELSE b.text END) AS text_hash
+  FROM base b LEFT JOIN base d ON d.doc_id = b.doc_id - 1
+  WHERE b.doc_id % 5 = 0
+),
+new_conv AS (  -- anti-join replay guard: conv_ids already imported drop out
+  SELECT * FROM new_batch
+  WHERE conv_id NOT IN (SELECT conv_id FROM old_conv)
+),
+prev_reps AS (
+  SELECT min(conv_id) AS conv_id, text_hash FROM old_conv GROUP BY text_hash
+),
+new_reps AS (  -- intra-batch dedup, minus texts an old representative owns
+  SELECT min(conv_id) AS conv_id, text_hash FROM new_conv
+  WHERE text_hash NOT IN (SELECT text_hash FROM prev_reps)
+  GROUP BY text_hash
+)
+SELECT conv_id, text_hash FROM prev_reps
+UNION ALL
+SELECT conv_id, text_hash FROM new_reps
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tfidf_top1_similar(spark, SF_DEFAULT)
@@ -1157,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "explain_matches": q_explain_matches,
         "er_pipeline_synthetic": q_er_pipeline_synthetic,
+        "incremental_append": q_incremental_append,
     }
 
 
@@ -1190,4 +1287,5 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB WITH RECURSIVE min-label propagation (round 3 — every
         # query is now value-checked)
         "er_pipeline_synthetic": SQL_ER_PIPELINE,
+        "incremental_append": SQL_INCREMENTAL_APPEND,
     }

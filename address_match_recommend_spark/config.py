@@ -89,6 +89,14 @@ class PipelineConfig:
     #: gate doesn't need it, and it adds a coord/density aggregation per
     #: pair; turn on to reproduce the reference's actual ranking.
     use_coord_density: bool = False
+    #: bug-parity mode (SURVEY §2.9/§7): reproduce the reference's
+    #: integer-division quantization of coord/density —
+    #: `float64(matched/count)` in Go truncates, so coord/density each
+    #: collapse to {0.5, 1.0} (1.0 only when every query text term
+    #: matched / the match span is gapless;
+    #: /root/reference/core/similarity.go:466,482). Off by default: the
+    #: engine implements the documented math (true float division).
+    quantize_coord_density: bool = False
 
     # --- scoring ---
     #: accept pair outright when cosine >= tau_hi

@@ -98,9 +98,9 @@ def score_pairs(
             F.sum(F.when(is_text, prod).otherwise(F.lit(0.0))).alias("dot_text"),
             F.sum(F.when(~is_text, prod).otherwise(F.lit(0.0))).alias("dot_typed"),
         )
-        cd = coord_density(pairs, tokens).select(
-            "conv_id_a", "conv_id_b", "coord", "density"
-        )
+        cd = coord_density(
+            pairs, tokens, quantize=cfg.quantize_coord_density
+        ).select("conv_id_a", "conv_id_b", "coord", "density")
         dots = (
             dots_split.join(cd, ["conv_id_a", "conv_id_b"], "left")
             .withColumn(
@@ -245,6 +245,7 @@ def score_pairs(
 def coord_density(
     pairs: DataFrame,
     tokens: DataFrame,
+    quantize: bool = False,
 ) -> DataFrame:
     """Reference-parity coord/density per pair (A4/A5).
 
@@ -255,8 +256,11 @@ def coord_density(
     where matchStart/End are positions of matched terms in the query's
     term order. Here "query" is side a of each pair; ``tokens`` is the
     exploded (conv_id, pos, token) table, positions from posexplode
-    (SURVEY §2.5). Uses true float division, not the reference's
-    integer-division quantization (SURVEY §2.9).
+    (SURVEY §2.5). Uses true float division by default, not the
+    reference's integer-division quantization (SURVEY §2.9);
+    ``quantize=True`` is the bug-parity mode — Go's
+    ``float64(matched/count)`` truncates before the sqrt, collapsing
+    coord/density to {0.5, 1.0} (cfg.quantize_coord_density).
 
     All relational: token-intersection join + one aggregation per pair.
 
@@ -285,6 +289,13 @@ def coord_density(
         )
     )
     half = F.lit(0.5)
+    ratio_c = F.col("matched") / F.col("n_terms_a")
+    ratio_d = F.col("matched") / (
+        F.col("match_end") - F.col("match_start") + F.lit(1)
+    )
+    if quantize:  # Go int-division truncation (similarity.go:466,482)
+        ratio_c = F.floor(ratio_c).cast("double")
+        ratio_d = F.floor(ratio_d).cast("double")
     # NOTE: n_terms is one row PER CONVERSATION — O(corpus) — so it must
     # NOT be broadcast (round-1 fix: a broadcast here OOMs the driver at
     # 10^8+ conversations). It shares the conv_id_a key with `matched`;
@@ -292,18 +303,8 @@ def coord_density(
     # aggregation's partitioning.
     return (
         matched.join(n_terms, "conv_id_a")
-        .withColumn(
-            "coord", F.sqrt(F.col("matched") / F.col("n_terms_a")) * half + half
-        )
-        .withColumn(
-            "density",
-            F.sqrt(
-                F.col("matched")
-                / (F.col("match_end") - F.col("match_start") + F.lit(1))
-            )
-            * half
-            + half,
-        )
+        .withColumn("coord", F.sqrt(ratio_c) * half + half)
+        .withColumn("density", F.sqrt(ratio_d) * half + half)
         .select("conv_id_a", "conv_id_b", "matched", "coord", "density")
     )
 
