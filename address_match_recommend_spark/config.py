@@ -47,7 +47,8 @@ class PipelineConfig:
     #: candidate-pair budget per record
     max_block_tokens_per_conv: int = 24
     #: candidate pairs must share at least this many RAW blockable tokens
-    #: (counted pre-salt via the join-back — see operators/blocking.py).
+    #: (counted pre-salt via in-join array intersection — see
+    #: operators/blocking.py).
     #: True duplicates share many rare tokens; pairs sharing exactly one
     #: cold token are overwhelmingly noise that cosine would reject anyway
     #: — filtering them BEFORE the vector join removes ~90% of the scoring
@@ -111,6 +112,13 @@ class PipelineConfig:
 
     # --- clustering ---
     max_cc_iterations: int = 20
+    #: edge sets at or below this size skip the distributed large/small-
+    #: star loop and run driver-side union-find (the broadcast-join
+    #: pattern applied to iteration: below the gate the loop is pure
+    #: per-iteration driver latency; above it, iteration compute scales
+    #: with executors and the exact distributed loop runs). 2M edges ≈
+    #: tens of MB of id pairs — the same order as a broadcast side.
+    cc_driver_max_edges: int = 2_000_000
 
     # --- runtime ---
     shuffle_partitions: int = 32

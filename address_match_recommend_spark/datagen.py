@@ -248,7 +248,27 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     # microsecond timestamps: Spark cannot read pandas' nanosecond default
     kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
-    corpus.transcripts.to_parquet(f"{out_dir}/transcripts.parquet", **kw)
+    # The transcripts table is written as a DIRECTORY of part files so the
+    # scan parallelizes: pandas' default is one file with one row group,
+    # and Spark assigns byte-range splits per file (a 36 MB single file is
+    # ONE task under the 128 MB maxPartitionBytes regardless of row
+    # groups) — a 1M-turn fixture became a single-task scan at any
+    # parallelism. Production transcript tables have millions of splits;
+    # a multi-file fixture is the faithful small-scale proxy. Chunk
+    # boundaries respect conv_id grouping only by row order (rows within
+    # a conversation are contiguous in the generator's output), which is
+    # irrelevant for correctness — every consumer shuffles by conv_id.
+    tdir = f"{out_dir}/transcripts.parquet"
+    if os.path.isfile(tdir):
+        os.remove(tdir)
+    os.makedirs(tdir, exist_ok=True)
+    tr = corpus.transcripts
+    n_files = min(32, max(1, len(tr) // 32_768))
+    chunk = (len(tr) + n_files - 1) // n_files
+    for i in range(n_files):
+        tr.iloc[i * chunk : (i + 1) * chunk].to_parquet(
+            f"{tdir}/part-{i:05d}.parquet", **kw
+        )
     corpus.expected_clusters.to_parquet(f"{out_dir}/expected_clusters.parquet", **kw)
     corpus.labeled_pairs.to_parquet(f"{out_dir}/labeled_pairs.parquet", **kw)
     corpus.golden_canonical.to_parquet(f"{out_dir}/golden_canonical.parquet", **kw)

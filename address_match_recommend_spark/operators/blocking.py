@@ -75,11 +75,28 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     whose shared tokens land in different salt sub-blocks. Two rules:
 
     1. pair *generation* stays salted (the fan-out bound is untouched);
-    2. a generated pair qualifies when its TRUE shared-token count (a
-       join-back of pairs against the unsalted postings — bounded by
-       |pairs| × tokens-per-conv) meets the threshold. The count includes
-       hot tokens (the join-back is pre-salt), so a pair sharing one hot
-       token plus any other blockable token passes threshold 2.
+    2. a generated pair qualifies when its TRUE shared-token count meets
+       the threshold. The count includes hot tokens (it is pre-salt), so
+       a pair sharing one hot token plus any other blockable token passes
+       threshold 2.
+
+    The true count is computed INSIDE the self-join projection: each
+    posting row carries its conversation's full budgeted token set as a
+    sorted array of xxhash64 hashes (≤ max_block_tokens_per_conv longs,
+    built by one window aggregate that reuses the postings stage's
+    conv_id partitioning — no extra shuffle), and
+    ``size(array_intersect(a.toks, b.toks))`` evaluates per matched row
+    in whole-stage codegen. The threshold then filters BEFORE the
+    distinct-pair aggregation. The earlier design — groupBy the raw
+    matched rows into distinct pairs, then join the pair set back
+    against unsalted postings on both sides and re-aggregate — paid two
+    extra shuffles over |raw pairs| × tokens-per-conv rows; at 5k
+    entities that is ~4.8M raw pairs pruned to a few hundred thousand,
+    i.e. ~95% of the blocking stage's work spent counting pairs the
+    threshold was about to discard. Array payload cost: ≤ K longs per
+    posting row through the pair-gen shuffle — a constant factor on a
+    stage whose fan-out is already salt-bounded, traded for removing a
+    shuffle pair that grows with the (quadratic-ish) raw-pair count.
 
     Pairs sharing ONLY one salted hot token are admitted only under
     ``cfg.admit_single_salted`` (reference parity: one shared blocking
@@ -89,6 +106,7 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     field; threshold now applies uniformly to the true count by default.
     """
     cfg = cfg or PipelineConfig()
+    need_count = cfg.min_shared_tokens > 1
     n_salts = F.greatest(
         F.ceil(F.col("df") / F.lit(cfg.salt_bucket)).cast("int"), F.lit(1)
     )
@@ -96,15 +114,25 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         post.withColumn("n_salts", n_salts)
         .withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.col("n_salts")).cast("int"))
         .select("token", "salt", "conv_id", (F.col("n_salts") > 1).alias("is_salted"))
-        # Both sides of the self-join (and the join-back below) read
-        # this; materialized EAGERLY or the first downstream action
-        # schedules both sides before either has populated a lazy cache
-        # and the postings plan (tokenize + distinct + window) runs twice
-        # concurrently. localCheckpoint also truncates lineage, so the
-        # self-join's driver-side planning sees a LogicalRDD instead of
-        # the full upstream DAG (see plans/pipeline.py ckpt docstring).
-        .localCheckpoint(eager=True)
     )
+    if need_count:
+        # Per-conversation budgeted token set, hashed to longs for a
+        # compact array payload (≤ K × 8 bytes; collision odds within one
+        # pair's ≤2K-element universe ~ K²/2⁶⁴ — immaterial). The window
+        # partitions on conv_id, which postings() already partitioned by
+        # for the per-conv budget → no additional exchange.
+        w = Window.partitionBy("conv_id")
+        salted = salted.withColumn(
+            "toks", F.sort_array(F.collect_set(F.xxhash64("token")).over(w))
+        )
+    # Both sides of the self-join read this; materialized EAGERLY or the
+    # first downstream action schedules both sides before either has
+    # populated a lazy cache and the postings plan (tokenize + distinct
+    # + window) runs twice concurrently. localCheckpoint also truncates
+    # lineage, so the self-join's driver-side planning sees a LogicalRDD
+    # instead of the full upstream DAG (see plans/pipeline.py ckpt
+    # docstring).
+    salted = salted.localCheckpoint(eager=True)
 
     a = salted.alias("a")
     b = salted.alias("b")
@@ -115,33 +143,22 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
             F.col("a.salt") == F.col("b.salt"),
             F.col("a.conv_id") < F.col("b.conv_id"),
         ],
-    ).select(
-        F.col("a.conv_id").alias("conv_id_a"),
-        F.col("b.conv_id").alias("conv_id_b"),
-        F.col("a.is_salted").alias("is_salted"),
     )
-    # distinct pairs + "was any generating key salted" flag
-    pairs_raw = matched.groupBy("conv_id_a", "conv_id_b").agg(
-        F.max("is_salted").alias("via_salted")
-    )
-    if cfg.min_shared_tokens <= 1:
-        return pairs_raw.drop("via_salted")
-
-    # True shared-token count, pre-salt: join the (already bounded) pair
-    # set back against unsalted postings on each side. |pairs| × K rows
-    # max (K = max_block_tokens_per_conv) — cheap relative to scoring.
-    pa = salted.select(F.col("conv_id").alias("conv_id_a"), "token")
-    pb = salted.select(F.col("conv_id").alias("conv_id_b"), "token")
-    counted = (
-        pairs_raw.join(pa, "conv_id_a")
-        .join(pb, ["conv_id_b", "token"])
-        .groupBy("conv_id_a", "conv_id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.max("via_salted").alias("via_salted"),
+    if need_count:
+        # Pair-level true count, evaluated per matched row pre-aggregation
+        # (every row of one pair yields the same value). a.is_salted ==
+        # b.is_salted on a matched row (both derive from the token's df).
+        qualifies = (
+            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+            >= cfg.min_shared_tokens
         )
+        if cfg.admit_single_salted:
+            qualifies = qualifies | F.col("a.is_salted")
+        matched = matched.filter(qualifies)
+    return (
+        matched.select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .distinct()
     )
-    qualifies = F.col("n_shared") >= cfg.min_shared_tokens
-    if cfg.admit_single_salted:
-        qualifies = qualifies | F.col("via_salted")
-    return counted.filter(qualifies).select("conv_id_a", "conv_id_b")

@@ -61,7 +61,15 @@ def get_spark(
         # At 100 TB the scan parallelism is governed by file splits:
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dio.netty.tryReflectionSetAccessible=true "
+            # Scaling-evidence hook (bench.py): e.g. -XX:ActiveProcessorCount=N
+            # so a local[N] "executor" JVM also sizes its GC/JIT/fork-join
+            # thread pools for N cores, like a real N-core executor would,
+            # instead of for the whole host.
+            + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", ""),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -85,7 +85,8 @@ def test_shared_tokens_counted_pre_salt(spark):
     """Round-1 regression: a pair sharing 2 real tokens must survive
     min_shared_tokens=2 even when one shared token is hot (salted) and the
     two docs land in DIFFERENT salt sub-blocks for it. n_shared is counted
-    on raw tokens via the join-back, not on co-bucketed (token, salt) keys.
+    on raw tokens (in-join token-set intersection), not on co-bucketed
+    (token, salt) keys.
 
     Fixture: 10 planted pairs (pNNa, pNNb) each sharing a distinct cold
     token pairNN plus the global hot token; 80 filler docs make the hot
