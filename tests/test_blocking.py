@@ -111,3 +111,26 @@ def test_shared_tokens_counted_pre_salt(spark):
     # every planted pair shares 2 raw tokens → must all be present
     for i in range(10):
         assert (f"p{i:02d}a", f"p{i:02d}b") in pairs, f"planted pair {i} lost"
+
+
+def test_candidate_pairs_plan_shape(spark, block_input):
+    """Scale regression pin (round-3 blocking rewrite): with
+    min_shared_tokens > 1 the physical plan must contain exactly ONE
+    join — the salted posting self-join — with the true shared-token
+    count evaluated in-join via array_intersect. The round-2 design
+    joined the raw pair set back against the postings on both sides
+    (three joins, two extra shuffles over |raw pairs| × tokens-per-conv
+    rows); its reappearance would re-inflate the stage ~5× at 5k
+    entities and worse at scale. Also pins: no Python in the plan."""
+    tokens, idf = block_input
+    cfg = PipelineConfig(max_block_df=4, min_block_df=2, min_shared_tokens=2)
+    post = postings(tokens, idf, cfg).localCheckpoint(eager=True)
+    plan = (
+        candidate_pairs(post, cfg)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert n_joins == 1, f"expected 1 join (self-join only), got {n_joins}:\n{plan}"
+    assert "array_intersect" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
