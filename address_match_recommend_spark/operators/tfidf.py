@@ -89,7 +89,18 @@ def tfidf_vectors(
     aggs = [F.count(F.lit(1)).alias("tf_raw")]
     if has_boost:
         aggs.append(F.max("boost").alias("boost"))
-    counts = tokens.groupBy("conv_id", "token").agg(*aggs)
+    # ONE shuffle for the whole stage: hash-partitioning by conv_id
+    # satisfies the clustering requirements of every downstream operator
+    # — the (conv_id, token) aggregate (conv_id is a subset of its keys),
+    # the doc_len window, and the final per-conversation map build — so
+    # Catalyst plans a single exchange and fuses the rest partition-
+    # local. Without it the token stream (the largest intermediate at
+    # production scale: ~10² tokens per turn) shuffles twice: once on
+    # (conv_id, token) for the count, once on conv_id for the window.
+    # The trade: this exchange moves raw token rows without map-side
+    # combine, but tf is ≈1 for almost all (conv, token) pairs, so the
+    # combined and raw volumes are nearly identical.
+    counts = tokens.repartition("conv_id").groupBy("conv_id", "token").agg(*aggs)
     # The IDF broadcast is a north-rule mandate ("broadcast of the IDF
     # dictionary"). Its size is O(vocab) — bounded in practice by the
     # token pattern (words, not ids) and by min-df pruning upstream; on a
