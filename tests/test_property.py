@@ -75,14 +75,19 @@ def test_cc_equals_union_find(spark, raw_edges):
     four fixed shapes)."""
     edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in raw_edges]
     df = spark.createDataFrame(edges, "conv_id_a string, conv_id_b string")
-    got = {
-        r["conv_id"]: r["entity_id"]
-        for r in connected_components(df).collect()
-    }
     real = [(a, b) for a, b in edges if a != b]
     nodes = {n for e in real for n in e}
     expect = _union_find(nodes, real)
-    assert got == expect
+    # both implementations: the driver union-find fast path (default
+    # gate) and the distributed large/small-star loop (gate forced to 0)
+    from address_match_recommend_spark.config import PipelineConfig
+
+    for cfg in (None, PipelineConfig(cc_driver_max_edges=0)):
+        got = {
+            r["conv_id"]: r["entity_id"]
+            for r in connected_components(df, cfg=cfg).collect()
+        }
+        assert got == expect, f"path={'driver' if cfg is None else 'distributed'}"
 
 
 @given(
@@ -181,3 +186,78 @@ def test_remove_first_match_residual_algebra(spark):
             assert len(r["res"]) == len(r["text"]) - len(r["ex"])
             i = r["text"].find(r["ex"])
             assert r["res"] == r["text"][:i] + r["text"][i + len(r["ex"]):]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(1, 3),
+)
+@settings(**SPARK_SETTINGS)
+def test_candidate_pairs_equals_model(spark, docs, min_shared):
+    """The rewritten blocking operator (in-join array_intersect count,
+    round 3) must equal the declarative model on arbitrary corpora: a
+    pair qualifies iff the two conversations share >= min_shared_tokens
+    of their BUDGETED blockable tokens and share at least one blocking
+    key. Run in the unsalted regime (salt_bucket > corpus) so the model
+    is exactly computable in Python; salted recall/precision behavior is
+    pinned separately by the planted-pair tests in test_blocking.py."""
+    from address_match_recommend_spark.config import PipelineConfig
+    from address_match_recommend_spark.functions.tokenize import explode_tokens
+    from address_match_recommend_spark.operators.blocking import (
+        candidate_pairs,
+        postings,
+    )
+    from address_match_recommend_spark.operators.tfidf import idf_table
+
+    cfg = PipelineConfig(
+        max_block_df=4,
+        min_block_df=2,
+        salt_bucket=1000,  # no salting at <= 8 docs
+        max_block_tokens_per_conv=3,
+        min_shared_tokens=min_shared,
+    )
+    rows = [(f"d{i:02d}", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "conv_id string, canonical_text string")
+    tokens = explode_tokens(df, cfg)
+    idf = idf_table(tokens, len(rows), cfg)
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in candidate_pairs(postings(tokens, idf, cfg), cfg).collect()
+    }
+
+    # model: same semantics, straight-line Python
+    toksets = {cid: set(t.split()) for cid, t in rows}
+    df_count = {}
+    for ts_ in toksets.values():
+        for t in ts_:
+            df_count[t] = df_count.get(t, 0) + 1
+    blockable = {
+        t
+        for t, d in df_count.items()
+        if cfg.min_block_df <= d <= cfg.max_block_df
+    }
+    budget = {
+        cid: set(
+            sorted(
+                (t for t in ts_ if t in blockable),
+                key=lambda t: (df_count[t], t),
+            )[: cfg.max_block_tokens_per_conv]
+        )
+        for cid, ts_ in toksets.items()
+    }
+    ids = sorted(budget)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = budget[a] & budget[b]
+            if shared and len(shared) >= cfg.min_shared_tokens:
+                expect.add((a, b))
+    assert got == expect
