@@ -50,6 +50,13 @@ def postings(
     # heavy-tailed 10^12-turn vocabulary makes the df∈[2,200] band the
     # BULK of the vocab. AQE broadcasts automatically while it fits under
     # autoBroadcastJoinThreshold and falls back to a shuffled join beyond.
+    # (The conv_id-repartition fusion used in tfidf_vectors was measured
+    # here and REVERTED: unlike the vectors stage — whose doc-length
+    # window re-shuffles the full counted frame — the budget window here
+    # re-shuffles only the df-filtered postings (~5% of the token rows),
+    # while pre-partitioning by conv_id forfeits the distinct's map-side
+    # partial dedup on the big first exchange. Measured a wash at 20k
+    # entities, a likely loss at scale.)
     post = tokens.select("conv_id", "token").distinct().join(blockable, "token")
     if cfg.max_block_tokens_per_conv:
         w = Window.partitionBy("conv_id").orderBy(F.asc("df"), F.asc("token"))
