@@ -54,6 +54,18 @@ class PipelineConfig:
     #: — filtering them BEFORE the vector join removes ~90% of the scoring
     #: work (measured: 851k → ~40k pairs at 5k conversations, F1 unchanged)
     min_shared_tokens: int = 2
+    #: hard bound on the per-posting-row token-set payload used for the
+    #: in-join shared-token count when the per-conversation budget is
+    #: DISABLED (max_block_tokens_per_conv == 0) — without it a
+    #: pathological conversation's collect_set is unbounded through the
+    #: pair-gen shuffle (ADVICE r3). The array is sorted by xxhash64, so
+    #: truncation keeps each conversation's bottom-k hashes: a shared
+    #: token survives on a side iff its hash is among that side's k
+    #: smallest (a bottom-k sketch), so the intersection can only
+    #: UNDERcount — min_shared_tokens stays precision-safe, and the
+    #: count is exact for conversations with ≤ cap blockable tokens.
+    #: Irrelevant when the budget is on (the set is already ≤ budget).
+    toks_payload_cap: int = 256
     #: reference-parity recall mode: admit a pair on a single shared
     #: SALTED blocking key even below min_shared_tokens (the reference
     #: admits candidates on one shared key, /root/reference/core/
@@ -121,6 +133,13 @@ class PipelineConfig:
     cc_driver_max_edges: int = 2_000_000
 
     # --- runtime ---
+    #: submit independent pipeline stage branches (tokens→vectors vs
+    #: tokens→idf→postings→pairs) from concurrent driver threads so
+    #: their per-stage driver constants (planning + scheduling — the
+    #: core-count-independent Amdahl term) overlap instead of summing;
+    #: tasks share slots via FAIR scheduler pools (session.py). Ignored
+    #: under a Checkpointer (its ledger appends must not race).
+    concurrent_stages: bool = True
     shuffle_partitions: int = 32
     #: repartition width for the pair-scoring stage; scale with cluster size
     score_partitions: int | None = None
@@ -128,5 +147,12 @@ class PipelineConfig:
     # --- checkpointing ---
     checkpoint_dir: str | None = None
     run_id: str = "run0"
+    #: swap every in-memory localCheckpoint (ephemeral replication-1
+    #: blocks — an executor loss is unrecoverable) for a reliable
+    #: Dataset.checkpoint() to the sparkContext checkpoint dir, so a
+    #: long job on spot/preemptible executors survives decommission.
+    #: Requires checkpoint_dir (or a pre-set setCheckpointDir). See
+    #: materialize.py; orthogonal to the Checkpointer (stage resume).
+    reliable_checkpoint: bool = False
 
     extra: dict = field(default_factory=dict)

@@ -261,6 +261,13 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
     tdir = f"{out_dir}/transcripts.parquet"
     if os.path.isfile(tdir):
         os.remove(tdir)
+    else:
+        # Clear stale part files: regenerating a SMALLER corpus into the
+        # same out_dir would otherwise silently mix old part-NNNNN files
+        # with new ones (ADVICE r3).
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)
     os.makedirs(tdir, exist_ok=True)
     tr = corpus.transcripts
     n_files = min(32, max(1, len(tr) // 32_768))

@@ -127,19 +127,27 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
         # compact array payload (≤ K × 8 bytes; collision odds within one
         # pair's ≤2K-element universe ~ K²/2⁶⁴ — immaterial). The window
         # partitions on conv_id, which postings() already partitioned by
-        # for the per-conv budget → no additional exchange.
+        # for the per-conv budget → no additional exchange. With the
+        # budget disabled the set is instead truncated to the
+        # toks_payload_cap smallest hashes (bottom-k sketch — undercount
+        # only; see config.py) so the payload stays bounded (ADVICE r3).
         w = Window.partitionBy("conv_id")
-        salted = salted.withColumn(
-            "toks", F.sort_array(F.collect_set(F.xxhash64("token")).over(w))
-        )
+        toks = F.sort_array(F.collect_set(F.xxhash64("token")).over(w))
+        if not cfg.max_block_tokens_per_conv:
+            toks = F.slice(toks, 1, cfg.toks_payload_cap)
+        salted = salted.withColumn("toks", toks)
     # Both sides of the self-join read this; materialized EAGERLY or the
     # first downstream action schedules both sides before either has
     # populated a lazy cache and the postings plan (tokenize + distinct
-    # + window) runs twice concurrently. localCheckpoint also truncates
+    # + window) runs twice concurrently. Checkpointing also truncates
     # lineage, so the self-join's driver-side planning sees a LogicalRDD
     # instead of the full upstream DAG (see plans/pipeline.py ckpt
-    # docstring).
-    salted = salted.localCheckpoint(eager=True)
+    # docstring). cfg.reliable_checkpoint upgrades this to a durable
+    # checkpoint (materialize.py) so executor loss mid-join is
+    # survivable on a real cluster.
+    from ..materialize import materialize
+
+    salted = materialize(salted, cfg, eager=True)
 
     a = salted.alias("a")
     b = salted.alias("b")

@@ -74,28 +74,39 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     of MB, the same order as a broadcast side). Above the gate the
     exact distributed loop runs unchanged — at 10^12 turns the match
     graph is far past it and iteration compute, which DOES scale with
-    executors, dominates the fixed driver term."""
-    comp: dict[str, str] = {}
+    executors, dominates the fixed driver term.
 
-    def find(x: str) -> str:
-        root = x
-        while comp.get(root, root) != root:
-            root = comp[root]
-        while comp.get(x, x) != x:  # path compression
-            comp[x], x = root, comp[x]
-        return root
+    Ids are factorized to int codes before the union-find (ADVICE r3): a
+    dict of 2×|E| boxed 64-char strings costs several hundred MB of
+    driver RSS at the 2M-edge gate, while the int-array parent table is
+    8·|V| bytes; the original strings are touched only at union time
+    (lexicographic-min comparison) and for the final output mapping."""
+    import numpy as np
+    import pandas as pd
 
     pdf = e.toPandas()  # Arrow path: two string columns, not Row objects
-    for u, v in zip(pdf["u"].values, pdf["v"].values):
-        ru, rv = find(u), find(v)
-        if ru != rv:
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=False
+    )
+    n_edges = len(pdf)
+    parent = np.arange(len(uniques), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(codes[:n_edges].tolist(), codes[n_edges:].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
             # union by lexicographic min so roots converge toward the
             # component's min id without a second pass
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            comp[hi] = lo
-    assign = [(x, find(x)) for x in comp]
-    roots = {r for _, r in assign}
-    out = assign + [(r, r) for r in roots]
+            lo, hi = (ra, rb) if uniques[ra] < uniques[rb] else (rb, ra)
+            parent[hi] = lo
+    out = [(uniques[i], uniques[find(i)]) for i in range(len(uniques))]
     return e.sparkSession.createDataFrame(out, "conv_id string, entity_id string")
 
 
@@ -119,16 +130,19 @@ def connected_components(
     """(conv_id, entity_id) for every node appearing in ``edges``.
 
     Driver-iterated large-star/small-star; provably convergent in
-    O(log² n) rounds. Each round ends in ``localCheckpoint`` (executor-
-    block materialization; on a real cluster set a reliable checkpoint dir
-    and the same call sites apply) so the logical plan stays O(1) deep.
+    O(log² n) rounds. Each round ends in a checkpoint (executor-local
+    blocks by default; durable under ``cfg.reliable_checkpoint`` —
+    materialize.py) so the logical plan stays O(1) deep.
     """
     cfg = cfg or PipelineConfig()
-    e = (
+    from ..materialize import materialize
+
+    e = materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)  # materialized by the count below
+        .distinct(),
+        cfg,
+        eager=False,  # materialized by the count below
     )
     n_edges = e.count()
     if n_edges <= cfg.cc_driver_max_edges:
@@ -166,7 +180,7 @@ def connected_components(
             # signature's aggregate materializes the checkpoint blocks
             # (round-3: the eager checkpoint ran a separate job first,
             # doubling the loop's driver-synchronized job count)
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            e = materialize(_small_star(_large_star(e)), cfg, eager=False)
             sig = _signature(e)
             if sig == prev_sig:
                 break

