@@ -20,6 +20,15 @@ class PipelineConfig:
     lowercase: bool = True
     stopwords: tuple[str, ...] = ()
     min_token_len: int = 1
+    #: dictionary segmentation (reference C12, the gse community/region
+    #: dictionary at /root/reference/segment/gse_segment.go:11-25): when
+    #: non-empty, tokenization becomes greedy longest-match against this
+    #: entry set (driver-built trie, broadcast once), with spans BETWEEN
+    #: dictionary hits falling back to the regex tokenizer (the
+    #: reference's C13 SimpleSegmenter fallback). Needed for payloads
+    #: whose token boundaries aren't regex-expressible (CJK); the default
+    #: transcript pipeline leaves it empty and stays fully JVM-side.
+    dictionary: tuple[str, ...] = ()
     #: F2 blank guard (/root/reference/core/similarity.go:50-52): drop
     #: whitespace-only conversations at canonicalize so empty vectors
     #: never reach blocking/scoring
@@ -79,6 +88,18 @@ class PipelineConfig:
     #: quadratic, but unbounded across hot tokens. Turn on only when
     #: recall of single-hot-token matches matters more than scoring cost.
     admit_single_salted: bool = False
+    #: hard per-hot-token budget on bypass-admitted pairs when
+    #: admit_single_salted is ON (round-2 ask, closed r4): each (token,
+    #: salt) sub-block admits at most ceil(budget / n_salts) pairs that
+    #: qualify ONLY via the single-salted-key bypass, so one hot token
+    #: admits at most budget + ceil(df/salt_bucket) such pairs total —
+    #: bounded regardless of df (the uncapped envelope was
+    #: O(df·salt_bucket/2) per hot token). Enforced by a row_number
+    #: window over (token, salt) — partitions are ≤ salt_bucket²/2 rows,
+    #: so the cap itself cannot skew. Deterministic: pairs are kept in
+    #: xxhash64(pair) order. Pairs meeting min_shared_tokens are never
+    #: budgeted.
+    single_salted_pair_budget: int = 1000
 
     # --- structure-aware scoring (reference C14 boosts) ---
     #: tokenize with typed structural tokens (role:/tool:/nturns:) and

@@ -117,10 +117,13 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     n_salts = F.greatest(
         F.ceil(F.col("df") / F.lit(cfg.salt_bucket)).cast("int"), F.lit(1)
     )
+    cols = ["token", "salt", "conv_id"]
+    if cfg.admit_single_salted:
+        cols.append("n_salts")  # the bypass budget scales per sub-block
     salted = (
         post.withColumn("n_salts", n_salts)
         .withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.col("n_salts")).cast("int"))
-        .select("token", "salt", "conv_id", (F.col("n_salts") > 1).alias("is_salted"))
+        .select(*cols, (F.col("n_salts") > 1).alias("is_salted"))
     )
     if need_count:
         # Per-conversation budgeted token set, hashed to longs for a
@@ -159,6 +162,12 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
             F.col("a.conv_id") < F.col("b.conv_id"),
         ],
     )
+    def pair_ids(m: DataFrame) -> DataFrame:
+        return m.select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+
     if need_count:
         # Pair-level true count, evaluated per matched row pre-aggregation
         # (every row of one pair yields the same value). a.is_salted ==
@@ -168,12 +177,35 @@ def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataF
             >= cfg.min_shared_tokens
         )
         if cfg.admit_single_salted:
-            qualifies = qualifies | F.col("a.is_salted")
+            # The bypass (pairs admitted on ONE shared salted key, below
+            # the threshold) is budgeted per hot token: each (token,
+            # salt) sub-block keeps at most ceil(budget / n_salts) such
+            # pairs, so a token of any df admits ≤ budget + n_salts
+            # bypass pairs (see config.single_salted_pair_budget). The
+            # row_number window partitions on (token, salt) — bounded at
+            # salt_bucket²/2 rows — and orders by xxhash64(pair) so the
+            # kept subset is deterministic. Threshold-qualified pairs
+            # are never budgeted.
+            per_block_cap = F.greatest(
+                F.ceil(
+                    F.lit(cfg.single_salted_pair_budget) / F.col("a.n_salts")
+                ).cast("int"),
+                F.lit(1),
+            )
+            wb = Window.partitionBy(F.col("a.token"), F.col("a.salt")).orderBy(
+                F.xxhash64(F.col("a.conv_id"), F.col("b.conv_id")),
+                F.col("a.conv_id"),
+                F.col("b.conv_id"),
+            )
+            bypass = (
+                matched.filter(~qualifies & F.col("a.is_salted"))
+                .withColumn("rk", F.row_number().over(wb))
+                .filter(F.col("rk") <= per_block_cap)
+            )
+            return (
+                pair_ids(matched.filter(qualifies))
+                .unionByName(pair_ids(bypass))
+                .distinct()
+            )
         matched = matched.filter(qualifies)
-    return (
-        matched.select(
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-        )
-        .distinct()
-    )
+    return pair_ids(matched).distinct()

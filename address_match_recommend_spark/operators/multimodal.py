@@ -7,8 +7,8 @@ runs decode/feature-extract/resize/frame-sample as **Arrow-batched
 UDF signature, batch shape) is real and tested; the codec itself is
 stubbed (this container ships no image/audio libs) behind a deterministic
 fake so tests are reproducible, with the library import gated by
-``try/except`` so dropping in Pillow/soundfile on a real cluster activates
-true decoding without touching any caller.
+``try/except`` so dropping in Pillow/soundfile/PyAV on a real cluster
+activates true decoding without touching any caller.
 
 Schema convention::
 
@@ -184,8 +184,8 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plumbing*: one output row per kept frame
-    index, JVM-side (sequence + explode — no Python). The per-frame decode
-    hook raises until a codec library is provided."""
+    index, JVM-side (sequence + explode — no Python). Pair with
+    :func:`frame_features` to decode + featurize the kept frames."""
     frames = (
         media.filter(F.col("kind") == "video")
         .select(
@@ -204,9 +204,81 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def decode_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Video frame decode — requires a codec library (not in this
-    container)."""
-    raise NotImplementedError(
-        "video decode needs pyav/opencv on the cluster; plumbing "
-        "(sample_frames) is functional without it"
+    """Decode one video frame to an HxWx3 uint8 array.
+
+    Real path: PyAV (unavailable here — same try/except activation gate
+    as ``_decode_image``/``_decode_audio``: dropping ``av`` onto a real
+    cluster activates true decoding without touching any caller).
+    Deterministic fake: an 8×8×3 array seeded from (payload, frame_idx)
+    so downstream per-frame features are distinct per frame and stable
+    across runs/partitions."""
+    try:  # pragma: no cover - PyAV not in this container
+        import io
+
+        import av  # type: ignore
+
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i == frame_idx:
+                    return frame.to_ndarray(format="rgb24")
+        raise IndexError(f"frame {frame_idx} out of range")
+    except ImportError:
+        digest = hashlib.sha256(
+            payload + int(frame_idx).to_bytes(8, "big")
+        ).digest()
+        rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+        return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+FRAME_FEATURES_SCHEMA = (
+    "media_id string, frame_idx int, brightness double, phash string"
+)
+
+
+def frame_features(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Per-sampled-frame features: explode kept frame indices JVM-side
+    (same sequence/explode as :func:`sample_frames`), then decode +
+    featurize each kept frame in one Arrow-batched ``mapInPandas``.
+
+    Scale note: the encoded payload is shipped once per KEPT frame
+    through the explode — fine while ``every_n`` keeps frames sparse;
+    for dense sampling of long videos group by media_id inside the UDF
+    instead (one decode pass per video) and explode in Python.
+    """
+
+    frames = (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.coalesce(F.col("meta.n_frames"), F.lit(0)).alias("n_frames"),
+        )
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ),
+        )
+        .select("media_id", "payload", "frame_idx")
     )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, idx in zip(
+                pdf["media_id"], pdf["payload"], pdf["frame_idx"]
+            ):
+                arr = decode_frame(bytes(payload), int(idx)).astype(np.float64)
+                gray = arr.mean(axis=2)
+                bits = (gray > gray.mean()).flatten()
+                phash = np.packbits(bits[:64]).tobytes().hex()
+                rows.append((mid, int(idx), float(gray.mean()), phash))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "brightness", "phash"]
+            )
+
+    return frames.mapInPandas(compute, FRAME_FEATURES_SCHEMA)

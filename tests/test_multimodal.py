@@ -63,9 +63,60 @@ def test_sample_frames_jvm_side(media):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_video_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_frame(b"xx", 0)
+def test_video_decode_gated_deterministic_fake():
+    """decode_frame follows the same activation gate as image/audio: with
+    no codec library installed it returns the deterministic fake — stable
+    across calls, distinct across frame indices (VERDICT r3 next #4)."""
+    a1 = decode_frame(b"xx", 0)
+    a2 = decode_frame(b"xx", 0)
+    b = decode_frame(b"xx", 1)
+    assert a1.shape == (8, 8, 3) and a1.dtype.name == "uint8"
+    assert (a1 == a2).all()
+    assert (a1 != b).any()
+
+
+def test_frame_features_distributed(media):
+    from address_match_recommend_spark.operators.multimodal import frame_features
+
+    feats = frame_features(media, every_n=25)
+    rows = feats.collect()
+    # same row count as the JVM-side sampling plumbing
+    assert len(rows) == sample_frames(media, every_n=25).count()
+    assert all(0.0 <= r["brightness"] <= 255.0 for r in rows)
+    # per-frame features differ across frames of the same video
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], set()).add(r["phash"])
+    assert all(len(h) > 1 for h in by_media.values())
+
+
+def test_video_decode_real_when_av_available():
+    """Activation contract for the real video path (mirrors the Pillow
+    test below): when PyAV IS on the cluster, decode_frame must decode
+    true frames — the try/except import gate is the only switch."""
+    pytest.importorskip("av")
+    import av
+    import io
+
+    # encode a tiny 2-frame video in memory, then decode frame 1 back
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        import numpy as np
+
+        for shade in (0, 255):
+            img = np.full((16, 16, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+    out = decode_frame(payload, 1)
+    assert out.shape[2] == 3 and out.shape[0] == 16
+    assert out.mean() > 128  # second frame is the bright one
 
 
 def test_image_decode_real_when_pillow_available(spark):
