@@ -258,8 +258,6 @@ def run_pipeline(
         finally:
             pool.shutdown(wait=True)
     else:
-        if pool is not None:
-            pool.shutdown(wait=True)
         vectors = fields["vectors"] = ckpt(
             "vectors", lambda: tfidf_vectors(tokens, idf, cfg)
         )

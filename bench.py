@@ -392,6 +392,26 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
     r8, r32 = results[lo], results[hi]
     t8, t32 = r8["queries"][metric_key], r32["queries"][metric_key]
     eff = (t8 / t32) / (hi / lo) if t32 else 0.0
+    # Min-stage composite (whole-job mode): per level, take each stage's
+    # MIN across the interleaved epochs and sum. The host throttles CPU
+    # in multi-minute bursts that hit DIFFERENT stages in different
+    # epochs; whole-run min still carries whichever burst its best epoch
+    # absorbed, while the stage-wise min composes a burst-free run from
+    # the epochs' calm windows (protocol validated on the r3 idle-machine
+    # triplet, BENCH/BASELINE.md). Reported alongside, never instead of,
+    # the whole-run min.
+    composite: dict[str, float] = {}
+    for c, rs in runs.items():
+        stages = [r["er_stage_sec"] for r in rs if r.get("er_stage_sec")]
+        if stages:
+            composite[str(c)] = round(
+                sum(min(s.get(k, 0.0) for s in stages) for k in stages[0]), 3
+            )
+    eff_comp = None
+    if len(composite) == 2 and composite[str(hi)]:
+        eff_comp = round(
+            (composite[str(lo)] / composite[str(hi)]) / (hi / lo), 3
+        )
     print(json.dumps({
         "scaling": {
             "mode": "scoring_stage" if stage else "whole_job",
@@ -400,6 +420,8 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
             "sec": [t8, t32],
             "er_pairs_per_sec": [r8["er_pairs_per_sec"], r32["er_pairs_per_sec"]],
             "efficiency": round(eff, 3),
+            "stage_min_composite_sec": composite or None,
+            "efficiency_stage_composite": eff_comp,
             "all_runs_sec": {str(c): [r["value"] for r in rs] for c, rs in runs.items()},
         },
         "runs": {str(k): v for k, v in results.items()},

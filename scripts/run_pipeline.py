@@ -45,7 +45,16 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--reliable",
+        action="store_true",
+        help="swap in-memory localCheckpoints for durable rdd checkpoints "
+        "under --checkpoint/_rdd (survives executor decommission; use on "
+        "spot/preemptible clusters)",
+    )
     args = ap.parse_args()
+    if args.reliable and not args.checkpoint:
+        ap.error("--reliable requires --checkpoint")
 
     from address_match_recommend_spark.config import PipelineConfig
     from address_match_recommend_spark.plans.pipeline import run_pipeline
@@ -76,7 +85,11 @@ def main() -> None:
         if args.checkpoint
         else None
     )
-    cfg = PipelineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    cfg = PipelineConfig(
+        shuffle_partitions=args.shuffle_partitions or 32,
+        reliable_checkpoint=args.reliable,
+        checkpoint_dir=args.checkpoint,
+    )
 
     t0 = time.monotonic()
     result = run_pipeline(transcripts, cfg, checkpointer=ck)
