@@ -154,6 +154,19 @@ class PipelineConfig:
     cc_driver_max_edges: int = 2_000_000
 
     # --- runtime ---
+    #: materialize the exploded token stream (conv_id, pos, token) as its
+    #: own checkpointed stage. OFF by default (round 4): the explode is a
+    #: narrow, cheap map over the already-materialized representatives
+    #: (measured at 50k ents: ≤10 s of compute at 2 AND 8 cores), while
+    #: checkpointing its ~200×-inflated output is a bandwidth-bound block
+    #: write (60-82 s) that no core count speeds up — the single worst
+    #: scaling stage in the whole-job N→4N recordings. Each consumer
+    #: (idf, vectors, postings) instead re-runs the explode inside its
+    #: own shuffle's map side. Turn ON when the tokenizer itself is
+    #: expensive enough to out-cost the write — the dictionary-segmenter
+    #: pandas UDF (cfg.dictionary) on large CJK payloads is the one
+    #: known case.
+    materialize_tokens: bool = False
     #: submit independent pipeline stage branches (tokens→vectors vs
     #: tokens→idf→postings→pairs) from concurrent driver threads so
     #: their per-stage driver constants (planning + scheduling — the

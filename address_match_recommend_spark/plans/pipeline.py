@@ -128,8 +128,8 @@ def run_pipeline(
           sides of a downstream self-join within one action: a lazily
           persisted frame races — both sides get scheduled before either
           populates the cache, re-running the upstream plan twice
-          concurrently (tokens → idf/vectors/postings; vectors → both
-          scorer sides; conversations → dedup + dup_edges + clusters).
+          concurrently (vectors → both scorer sides; conversations →
+          dedup + dup_edges + clusters; reps → every token consumer).
           Lineage truncation is the round-3 serial-fraction fix: persist
           caches DATA but every downstream action still pays driver-side
           Catalyst/AQE planning over the full accumulated plan — measured
@@ -175,8 +175,16 @@ def run_pipeline(
     )
     if not want("representatives"):
         return result()
+    # Repartitioned to full stage width BEFORE materializing: AQE
+    # coalesces the dedup shuffle by the COMPACT frame's bytes (9
+    # partitions at 50k ents), but every consumer explodes it ~200× —
+    # the token stream's map side would run 9 skewed tasks regardless of
+    # core count (measured: a straggler tail pinning the tokenize stage
+    # at ~60 s at BOTH 2 and 8 cores; 64-way balance cut it to 41 s at
+    # 8). The repartition itself shuffles only the compact rows.
     reps = fields["representatives"] = ckpt(
-        "representatives", lambda: dedup_exact(conversations)
+        "representatives",
+        lambda: dedup_exact(conversations).repartition(cfg.shuffle_partitions),
     )
     dup_edges = fields["dup_edges"] = exact_dup_edges(conversations)
     if not want("tokenize"):
@@ -210,9 +218,15 @@ def run_pipeline(
         tokens = boost_weights(tokens_with_structure(reps, cfg))
     else:
         tokens = explode_tokens(reps, cfg)
-    if checkpointer is None:
-        # feeds idf, vectors, and postings; lineage cut so each consumer
-        # plans against a LogicalRDD, not the whole upstream DAG
+    if checkpointer is None and cfg.materialize_tokens:
+        # Opt-in only (cfg.materialize_tokens): checkpointing the ~200×
+        # exploded stream is a bandwidth-bound block write that no core
+        # count speeds up — the default recomputes the cheap explode
+        # inside each consumer's map side instead (idf's distinct,
+        # vectors' conv_id repartition, postings' distinct all open with
+        # a shuffle, so the explode fuses into tasks that already run).
+        # Each consumer still plans against a LogicalRDD — reps, one
+        # narrow projection below it.
         tokens = materialize(tokens, cfg, eager=True)
     n_docs = fut_ndocs.result() if parallel else reps.count()
     stage_sec["tokenize"] = round(time.monotonic() - t_tok, 3)
