@@ -145,6 +145,26 @@ def _loadavg1() -> float:
         return -1.0
 
 
+def _settle_before_epoch(limit: float = 1.0, cap_s: int = 240) -> float:
+    """Wait (bounded) for the 1-min loadavg to decay below ``limit``
+    before launching a scaling epoch. The interleaved epochs run
+    back-to-back, so each fresh JVM otherwise launches into the residual
+    load of the previous epoch's 32-thread teardown — the r4 50k
+    recording's best 8-core epoch launched at loadavg 2.36, ABOVE the
+    recording-start guard's own 2.0 threshold. Capped so a recording can
+    never hang on a noisy host; returns the loadavg actually seen at
+    launch (the child stamps it again in its own JSON)."""
+    import time
+
+    waited = 0
+    load = _loadavg1()
+    while load > limit and waited < cap_s:
+        time.sleep(10)
+        waited += 10
+        load = _loadavg1()
+    return load
+
+
 def _refuse_if_loaded(context: str) -> None:
     """Refuse to start a scaling recording on a busy machine (override
     with SPARK_GRAFT_IGNORE_LOAD=1). The per-round driver bench is only
@@ -361,6 +381,7 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
     runs: dict[int, list] = {lo: [], hi: []}
     order = [lo, hi] * repeats  # interleaved: each level samples every epoch
     for cores in order:
+        _settle_before_epoch()
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
