@@ -293,6 +293,12 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
     spark = get_spark(app_name=f"bench-{sf_name}", cores=CPUS)
 
     load_start = _loadavg1()
+    # single-thread host-speed stamp: the sandbox's CPU delivery varies
+    # up to ~4× day-to-day (BENCH/BASELINE.md "Same-day engine-version
+    # control"), so every headline JSON records the host's current
+    # throughput — compare calib across bench files before comparing
+    # their walls.
+    calib_start = round(_cpu_calibration())
     if score_only:
         r = run_er_scoring_timed(spark)
         print(json.dumps({
@@ -343,6 +349,8 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
         "er_stage_sec": er["stage_sec"],
         "loadavg_start": load_start,
         "loadavg_end": _loadavg1(),
+        "calib_start": calib_start,
+        "calib_end": round(_cpu_calibration()),
     }
     print(json.dumps(out))
     spark.stop()
