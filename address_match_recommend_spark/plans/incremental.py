@@ -56,6 +56,12 @@ class IncrementalResult:
     scored: DataFrame
     clusters: DataFrame  # full updated clustering
     metrics: dict
+    # batch DELTAS (what this update ADDED, disjoint from the prev state)
+    # — streaming/incremental.py persists these per micro-batch instead
+    # of rewriting the O(corpus) full frames
+    new_conversations: DataFrame | None = None
+    new_representatives: DataFrame | None = None
+    new_postings: DataFrame | None = None
 
 
 def incremental_update(
@@ -196,4 +202,7 @@ def incremental_update(
         scored=scored,
         clusters=clusters,
         metrics={"n_new_conversations": n_new},
+        new_conversations=new_conv,
+        new_representatives=new_reps,
+        new_postings=new_post,
     )

@@ -1,0 +1,198 @@
+"""Streaming entity resolution — incremental_update driven by foreachBatch.
+
+The reference's write path is a synchronous per-record insert
+(``ImportAddr``, /root/reference/core/similarity.go:551-581): a new
+address joins the index and is immediately findable, without re-scoring
+the stored corpus. This module is that path as a CONTINUOUS job: a
+transcript-turn stream feeds ``plans.incremental.incremental_update``
+one micro-batch at a time through ``foreachBatch`` — the standard Spark
+pattern for per-batch logic that needs more than windowed aggregation
+(multi-stage joins against persisted state).
+
+State layout (``state_dir``)
+----------------------------
+Versioned, append-only; one version per applied micro-batch::
+
+    state_dir/
+      v00000000/            bootstrap (full pipeline run)
+        conversations/ representatives/ postings/ idf/ clusters/  _COMMIT
+      v00000001/            micro-batch 0
+        conversations/ representatives/ postings/   (batch DELTAS)
+        clusters/                                   (full rewrite)
+        _COMMIT
+
+- ``conversations`` / ``representatives`` / ``postings`` are per-batch
+  DELTAS — reading state unions the committed versions, so a micro-batch
+  writes O(batch), never O(corpus). (Production note: on an Iceberg/Delta
+  table this union is a plain append; the version dirs are the
+  plain-parquet equivalent that needs no table format in the sandbox.)
+- ``clusters`` is rewritten per version: cluster merges triggered by a
+  bridging batch can relabel ARBITRARY old rows, so the clusters frame is
+  the one state table that is not append-only. It is one compact row per
+  conversation; at Iceberg scale this becomes MERGE INTO on the changed
+  entity_ids only.
+- ``idf`` is written at bootstrap and held fixed — identical semantics to
+  the reference, which scores new records against the stored corpus's
+  statistics (/root/reference/core/similarity.go:342-364); unseen tokens
+  take ``cfg.missing_idf``. Refit on a cadence with a fresh bootstrap
+  (the documented policy in plans/incremental.py).
+
+Exactly-once
+------------
+``foreachBatch`` re-runs a batch_id after a failure. Version
+``v{batch_id+1}`` is committed atomically LAST (an empty ``_COMMIT``
+file after every table write): a replayed batch whose version is already
+committed is skipped, an uncommitted partial version is ignored by
+readers and overwritten by the replay. Combined with the streaming
+checkpoint's file-source tracking this gives exactly-once state updates
+on any filesystem with atomic create (local/HDFS; on S3 use a
+manifest-commit table format instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PipelineConfig
+from ..plans.incremental import incremental_update
+from ..plans.pipeline import run_pipeline
+
+_DELTA_TABLES = ("conversations", "representatives", "postings")
+
+
+class StreamingER:
+    """Continuous incremental entity resolution over a transcript stream.
+
+    Usage::
+
+        er = StreamingER(spark, state_dir)
+        er.bootstrap(initial_transcripts)          # full pipeline once
+        q = er.attach(stream_transcripts(spark, in_path), ckpt_path)
+        q.awaitTermination()
+        er.read_clusters()                         # latest clustering
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg: PipelineConfig | None = None,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.cfg = cfg or PipelineConfig()
+
+    # -- state plumbing ---------------------------------------------------
+
+    def _vdir(self, version: int) -> str:
+        return f"{self.state_dir}/v{version:08d}"
+
+    def _committed_versions(self) -> list[int]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        out = []
+        for name in os.listdir(self.state_dir):
+            if name.startswith("v") and os.path.exists(
+                os.path.join(self.state_dir, name, "_COMMIT")
+            ):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def _commit(self, version: int) -> None:
+        open(os.path.join(self._vdir(version), "_COMMIT"), "w").close()
+
+    def _read_union(self, table: str, versions: list[int]) -> DataFrame:
+        paths = [
+            p
+            for p in (f"{self._vdir(v)}/{table}" for v in versions)
+            if os.path.isdir(p)
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def read_clusters(self) -> DataFrame:
+        """Latest committed clustering (one row per conversation)."""
+        versions = self._committed_versions()
+        have = [
+            v for v in versions if os.path.isdir(f"{self._vdir(v)}/clusters")
+        ]
+        if not have:
+            raise FileNotFoundError(f"no committed clusters under {self.state_dir}")
+        return self.spark.read.parquet(f"{self._vdir(have[-1])}/clusters")
+
+    # -- lifecycle --------------------------------------------------------
+
+    def bootstrap(self, transcripts: DataFrame) -> None:
+        """Full pipeline over the initial corpus → state version 0."""
+        if self._committed_versions():
+            raise ValueError(f"{self.state_dir} already bootstrapped")
+        res = run_pipeline(transcripts, self.cfg)
+        v0 = self._vdir(0)
+        res.conversations.write.mode("overwrite").parquet(f"{v0}/conversations")
+        res.representatives.write.mode("overwrite").parquet(
+            f"{v0}/representatives"
+        )
+        res.postings.write.mode("overwrite").parquet(f"{v0}/postings")
+        res.idf.write.mode("overwrite").parquet(f"{v0}/idf")
+        res.clusters.write.mode("overwrite").parquet(f"{v0}/clusters")
+        self._commit(0)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: fold one micro-batch of raw transcript turns
+        into the persisted state (replay-idempotent, see module docstring).
+        """
+        version = int(batch_id) + 1
+        committed = self._committed_versions()
+        if not committed or committed[0] != 0:
+            raise ValueError("bootstrap() must commit v0 before streaming")
+        if version in committed:
+            return  # failure replay of an already-applied batch
+        if batch_df.isEmpty():
+            os.makedirs(self._vdir(version), exist_ok=True)
+            self._commit(version)
+            return
+
+        state_versions = [v for v in committed if v < version]
+        prev_conv = self._read_union("conversations", state_versions)
+        prev_reps = self._read_union("representatives", state_versions)
+        prev_post = self._read_union("postings", state_versions)
+        prev_idf = self.spark.read.parquet(f"{self._vdir(0)}/idf")
+        prev_clusters = self.read_clusters()
+
+        inc = incremental_update(
+            prev_conv,
+            prev_reps,
+            prev_idf,
+            prev_post,
+            prev_clusters,
+            batch_df,
+            self.cfg,
+        )
+        vdir = self._vdir(version)
+        inc.new_conversations.write.mode("overwrite").parquet(
+            f"{vdir}/conversations"
+        )
+        inc.new_representatives.write.mode("overwrite").parquet(
+            f"{vdir}/representatives"
+        )
+        inc.new_postings.write.mode("overwrite").parquet(f"{vdir}/postings")
+        inc.clusters.write.mode("overwrite").parquet(f"{vdir}/clusters")
+        self._commit(version)
+
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint_path: str,
+        available_now: bool = True,
+    ):
+        """Wire a transcript-turn stream (sources like
+        ``streaming.ingest.stream_transcripts``) into the state fold.
+        ``available_now=True`` drains the backlog and stops (tests,
+        backfills); False tails continuously."""
+        writer = stream.writeStream.foreachBatch(self.apply_batch).option(
+            "checkpointLocation", checkpoint_path
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

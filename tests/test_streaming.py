@@ -126,3 +126,83 @@ def test_streaming_is_incremental(spark, transcript_files, tmp_path):
         ck,
     ).count()
     assert again == first
+
+
+# ---------------------------------------------------------------------------
+# Streaming entity resolution (foreachBatch × incremental_update)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_er_end_to_end(spark, tmp_path):
+    """Bootstrap on an initial corpus, stream the remaining conversations
+    in as TWO micro-batches (maxFilesPerTrigger=1), and require the final
+    persisted clustering to pass the same F1 gate as a batch run; state
+    versions must be append-only deltas and batch replay a no-op."""
+    import os
+
+    from address_match_recommend_spark.datagen import (
+        TRANSCRIPTS_DDL,
+        corpus_to_spark,
+        generate_corpus,
+    )
+    from address_match_recommend_spark.plans.evaluate import pairwise_f1
+    from address_match_recommend_spark.streaming.incremental import StreamingER
+
+    corpus = generate_corpus(n_entities=14, seed=4242)
+    tr, clusters = corpus.transcripts, corpus.expected_clusters
+    entities = sorted(clusters["entity_id"].unique())
+    new_entities = set(entities[-4:])
+    new_convs = set(
+        clusters[clusters["entity_id"].isin(new_entities)]["conv_id"]
+    )
+    # one cluster-growing append: a duplicate conversation of an old entity
+    members = sorted(clusters[clusters["entity_id"] == entities[0]]["conv_id"])
+    new_convs.add(members[-1])
+    mask = tr["conv_id"].isin(new_convs)
+    old_tr = spark.createDataFrame(tr[~mask], schema=TRANSCRIPTS_DDL)
+    new_pdf = tr[mask]
+
+    er = StreamingER(spark, str(tmp_path / "state"))
+    er.bootstrap(old_tr)
+    assert er._committed_versions() == [0]
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); split by
+    # conv_id so each conversation's turns arrive whole
+    stream_in = str(tmp_path / "in")
+    ids = sorted(new_pdf["conv_id"].unique())
+    half = set(ids[: len(ids) // 2])
+    for i, part in enumerate((new_pdf[new_pdf["conv_id"].isin(half)],
+                              new_pdf[~new_pdf["conv_id"].isin(half)])):
+        spark.createDataFrame(part, schema=TRANSCRIPTS_DDL).coalesce(
+            1
+        ).write.mode("append").parquet(stream_in)
+    from address_match_recommend_spark.streaming.ingest import stream_transcripts
+
+    stream = stream_transcripts(spark, stream_in, max_files=1)
+    q = er.attach(stream, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    versions = er._committed_versions()
+    assert versions[0] == 0 and len(versions) >= 3, versions
+
+    full = corpus_to_spark(spark, corpus)
+    got = er.read_clusters()
+    assert got.count() == full["transcripts"].select("conv_id").distinct().count()
+    f1 = pairwise_f1(full["labeled_pairs"], got)["f1"]
+    assert f1 >= 0.99, f1
+
+    # deltas are disjoint: no conv_id appears in two versions' conversations
+    seen: set[str] = set()
+    for v in versions:
+        p = os.path.join(str(tmp_path / "state"), f"v{v:08d}", "conversations")
+        if not os.path.isdir(p):
+            continue
+        ids_v = {r["conv_id"] for r in spark.read.parquet(p).select("conv_id").collect()}
+        assert not (ids_v & seen)
+        seen |= ids_v
+
+    # failure replay of an applied batch_id is a committed-version no-op
+    before = er._committed_versions()
+    er.apply_batch(spark.createDataFrame(new_pdf, schema=TRANSCRIPTS_DDL), 0)
+    assert er._committed_versions() == before
+    assert pairwise_f1(full["labeled_pairs"], er.read_clusters())["f1"] >= 0.99
