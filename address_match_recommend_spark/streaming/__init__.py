@@ -1,1 +1,2 @@
-from . import ingest  # noqa: F401
+from . import incremental, ingest  # noqa: F401
+from .incremental import StreamingER  # noqa: F401
