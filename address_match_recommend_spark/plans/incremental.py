@@ -128,6 +128,19 @@ def incremental_update(
     unseen_df = (
         document_frequency(new_tokens)
         .join(prev_idf.select("token"), "token", "left_anti")
+        # Index unseen tokens IMMEDIATELY, even at batch df 1 — the
+        # reference inserts every record's tokens into the index on
+        # ImportAddr (/root/reference/core/similarity.go:551-581).
+        # min_block_df assumes a static corpus, where a df-1 token can
+        # never produce a pair; here a FUTURE batch can arrive sharing
+        # the token, and because the IDF is bootstrap-frozen the token
+        # stays "unseen" forever — dropping it would silently lose the
+        # pair and make recall depend on how arrivals were split into
+        # micro-batches (pinned by the streaming split-invariance
+        # test). Clamping df up to min_block_df admits the token to
+        # the blockable band; the max_block_df hot-token cap still
+        # applies to the true batch-local df.
+        .withColumn("df", F.greatest(F.col("df"), F.lit(cfg.min_block_df)))
         .withColumn("idf", F.lit(float(cfg.missing_idf)))
     )
     blocking_idf = prev_idf.select("token", "df", "idf").unionByName(unseen_df)

@@ -44,9 +44,26 @@ Exactly-once
 file after every table write): a replayed batch whose version is already
 committed is skipped, an uncommitted partial version is ignored by
 readers and overwritten by the replay. Combined with the streaming
-checkpoint's file-source tracking this gives exactly-once state updates
-on any filesystem with atomic create (local/HDFS; on S3 use a
-manifest-commit table format instead).
+checkpoint's file-source tracking this gives exactly-once state updates.
+
+The state-directory plumbing here uses the DRIVER's local filesystem
+API (``os.listdir`` / atomic file create), so ``state_dir`` must be a
+path the driver can see — local disk or a shared mount. On a real
+cluster, swap the version-directory layout for an Iceberg/Delta table:
+versions become table snapshots, the delta union-read becomes a plain
+append, and the ``_COMMIT`` marker becomes the table format's atomic
+snapshot commit — the semantics map 1:1.
+
+Batch-split invariance: the FINAL clustering does not depend on how the
+arriving conversations are partitioned into micro-batches (one batch vs
+many), because (a) the IDF is frozen at bootstrap and old-side vectors
+are recomputed from it per batch, and (b) tokens outside the bootstrap
+vocabulary are indexed immediately at ANY batch df (see the unseen-df
+clamp in plans/incremental.py — without it, a new entity's signature
+token arriving one conversation per batch would never block). Exact
+when the per-conversation blocking-token budget is not binding (the
+budget orders by df, which is batch-local for unseen tokens); pinned by
+``tests/test_streaming.py::test_streaming_er_split_invariance``.
 """
 
 from __future__ import annotations

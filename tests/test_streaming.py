@@ -206,3 +206,54 @@ def test_streaming_er_end_to_end(spark, tmp_path):
     er.apply_batch(spark.createDataFrame(new_pdf, schema=TRANSCRIPTS_DDL), 0)
     assert er._committed_versions() == before
     assert pairwise_f1(full["labeled_pairs"], er.read_clusters())["f1"] >= 0.99
+
+
+def test_streaming_er_split_invariance(spark, tmp_path):
+    """The final clustering must not depend on how arriving conversations
+    are partitioned into micro-batches: one batch vs three batches of the
+    same conversations produce the SAME partition of conv_ids. Holds
+    because the IDF is frozen at bootstrap and old-side vectors are
+    recomputed from it per batch (module docstring)."""
+    from address_match_recommend_spark.datagen import (
+        TRANSCRIPTS_DDL,
+        generate_corpus,
+    )
+    from address_match_recommend_spark.streaming.incremental import StreamingER
+
+    corpus = generate_corpus(n_entities=12, seed=777)
+    tr, clusters = corpus.transcripts, corpus.expected_clusters
+    entities = sorted(clusters["entity_id"].unique())
+    new_convs = sorted(
+        clusters[clusters["entity_id"].isin(set(entities[-3:]))]["conv_id"]
+    )
+    mask = tr["conv_id"].isin(set(new_convs))
+    old_tr = spark.createDataFrame(tr[~mask], schema=TRANSCRIPTS_DDL)
+    new_pdf = tr[mask]
+
+    def partition_of(er):
+        rows = er.read_clusters().collect()
+        by_entity: dict[str, set] = {}
+        for r in rows:
+            by_entity.setdefault(r["entity_id"], set()).add(r["conv_id"])
+        # canonical form: tuples, not frozensets — set.__lt__ is subset
+        # (a PARTIAL order), so sorting frozensets is input-order-dependent
+        return sorted(tuple(sorted(s)) for s in by_entity.values())
+
+    # run A: all new conversations in ONE batch
+    er_a = StreamingER(spark, str(tmp_path / "state_a"))
+    er_a.bootstrap(old_tr)
+    er_a.apply_batch(
+        spark.createDataFrame(new_pdf, schema=TRANSCRIPTS_DDL), 0
+    )
+
+    # run B: the same conversations split into THREE batches
+    er_b = StreamingER(spark, str(tmp_path / "state_b"))
+    er_b.bootstrap(old_tr)
+    thirds = [set(new_convs[i::3]) for i in range(3)]
+    for i, ids in enumerate(thirds):
+        part = new_pdf[new_pdf["conv_id"].isin(ids)]
+        er_b.apply_batch(
+            spark.createDataFrame(part, schema=TRANSCRIPTS_DDL), i
+        )
+
+    assert partition_of(er_a) == partition_of(er_b)
