@@ -11,15 +11,19 @@ pattern for per-batch logic that needs more than windowed aggregation
 
 State layout (``state_dir``)
 ----------------------------
-Versioned, append-only; one version per applied micro-batch::
+Versioned, append-only; one version per applied micro-batch or refit::
 
     state_dir/
       v00000000/            bootstrap (full pipeline run)
-        conversations/ representatives/ postings/ idf/ clusters/  _COMMIT
+        conversations/ representatives/ postings/ idf/ clusters/
+        _BASE  _COMMIT
       v00000001/            micro-batch 0
         conversations/ representatives/ postings/   (batch DELTAS)
         clusters/                                   (full rewrite)
-        _COMMIT
+        _BATCH_0  _COMMIT
+      v00000002/            refit (full pipeline re-run, fresh IDF)
+        conversations/ representatives/ postings/ idf/ clusters/
+        _BASE  _COMMIT    — supersedes everything before it
 
 - ``conversations`` / ``representatives`` / ``postings`` are per-batch
   DELTAS — reading state unions the committed versions, so a micro-batch
@@ -31,19 +35,22 @@ Versioned, append-only; one version per applied micro-batch::
   the one state table that is not append-only. It is one compact row per
   conversation; at Iceberg scale this becomes MERGE INTO on the changed
   entity_ids only.
-- ``idf`` is written at bootstrap and held fixed — identical semantics to
-  the reference, which scores new records against the stored corpus's
-  statistics (/root/reference/core/similarity.go:342-364); unseen tokens
-  take ``cfg.missing_idf``. Refit on a cadence with a fresh bootstrap
-  (the documented policy in plans/incremental.py).
+- ``idf`` is written at bootstrap/refit and held fixed between bases —
+  identical semantics to the reference, which scores new records against
+  the stored corpus's statistics (/root/reference/core/similarity.go:
+  342-364); unseen tokens take ``cfg.missing_idf``. ``refit()`` re-fits
+  the dictionary on a cadence (the documented policy in
+  plans/incremental.py).
 
 Exactly-once
 ------------
-``foreachBatch`` re-runs a batch_id after a failure. Version
-``v{batch_id+1}`` is committed atomically LAST (an empty ``_COMMIT``
-file after every table write): a replayed batch whose version is already
-committed is skipped, an uncommitted partial version is ignored by
-readers and overwritten by the replay. Combined with the streaming
+``foreachBatch`` re-runs a batch_id after a failure. Each applied batch
+writes a ``_BATCH_{batch_id}`` marker into its version dir, and the
+version is committed atomically LAST (an empty ``_COMMIT`` file after
+every table write): a replayed batch whose id appears in any committed
+version is skipped, an uncommitted partial version is ignored by
+readers and overwritten. Version numbers are decoupled from batch ids
+because ``refit()`` also consumes a version slot. Combined with the streaming
 checkpoint's file-source tracking this gives exactly-once state updates.
 
 The state-directory plumbing here uses the DRIVER's local filesystem
@@ -120,6 +127,30 @@ class StreamingER:
     def _commit(self, version: int) -> None:
         open(os.path.join(self._vdir(version), "_COMMIT"), "w").close()
 
+    def _base_of(self, versions: list[int]) -> int:
+        """Latest committed BASE version (bootstrap or refit): the one
+        whose tables are FULL rewrites; deltas after it are unioned on
+        top, anything before it is superseded."""
+        bases = [
+            v
+            for v in versions
+            if os.path.exists(os.path.join(self._vdir(v), "_BASE"))
+        ]
+        if not bases:
+            raise ValueError(f"no committed base version under {self.state_dir}")
+        return bases[-1]
+
+    def _applied_batch_ids(self) -> set[int]:
+        """batch_ids already folded in (replay guard) — version numbers
+        are decoupled from batch ids because refit() also consumes a
+        version slot."""
+        out: set[int] = set()
+        for v in self._committed_versions():
+            for name in os.listdir(self._vdir(v)):
+                if name.startswith("_BATCH_"):
+                    out.add(int(name[len("_BATCH_"):]))
+        return out
+
     def _read_union(self, table: str, versions: list[int]) -> DataFrame:
         paths = [
             p
@@ -140,41 +171,67 @@ class StreamingER:
 
     # -- lifecycle --------------------------------------------------------
 
+    def _write_base(self, version: int, res) -> None:
+        vdir = self._vdir(version)
+        res.conversations.write.mode("overwrite").parquet(f"{vdir}/conversations")
+        res.representatives.write.mode("overwrite").parquet(
+            f"{vdir}/representatives"
+        )
+        res.postings.write.mode("overwrite").parquet(f"{vdir}/postings")
+        res.idf.write.mode("overwrite").parquet(f"{vdir}/idf")
+        res.clusters.write.mode("overwrite").parquet(f"{vdir}/clusters")
+        open(os.path.join(vdir, "_BASE"), "w").close()
+        self._commit(version)
+
     def bootstrap(self, transcripts: DataFrame) -> None:
         """Full pipeline over the initial corpus → state version 0."""
         if self._committed_versions():
             raise ValueError(f"{self.state_dir} already bootstrapped")
-        res = run_pipeline(transcripts, self.cfg)
-        v0 = self._vdir(0)
-        res.conversations.write.mode("overwrite").parquet(f"{v0}/conversations")
-        res.representatives.write.mode("overwrite").parquet(
-            f"{v0}/representatives"
-        )
-        res.postings.write.mode("overwrite").parquet(f"{v0}/postings")
-        res.idf.write.mode("overwrite").parquet(f"{v0}/idf")
-        res.clusters.write.mode("overwrite").parquet(f"{v0}/clusters")
-        self._commit(0)
+        self._write_base(0, run_pipeline(transcripts, self.cfg))
+
+    def refit(self, transcripts: DataFrame) -> None:
+        """Re-bootstrap on the CURRENT full corpus → a new base version
+        with a freshly-fit IDF; later micro-batches fold against it.
+
+        This is the documented remedy for dictionary drift (plans/
+        incremental.py step 3): the bootstrap-frozen IDF keeps old
+        vectors valid but ages as the corpus grows — refit on a cadence,
+        e.g. when the corpus has doubled. ``transcripts`` is the full raw
+        corpus: state stores canonical conversations, not raw turns, so
+        the caller supplies the stream's durable source table. The
+        streaming query and its checkpoint keep running across a refit —
+        replay protection is per batch_id (``_BATCH_*`` markers), not
+        per version, so an in-flight batch replayed after the refit is
+        still skipped."""
+        committed = self._committed_versions()
+        if not committed:
+            raise ValueError("bootstrap() must commit v0 before refit")
+        self._write_base(committed[-1] + 1, run_pipeline(transcripts, self.cfg))
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: fold one micro-batch of raw transcript turns
         into the persisted state (replay-idempotent, see module docstring).
         """
-        version = int(batch_id) + 1
         committed = self._committed_versions()
         if not committed or committed[0] != 0:
             raise ValueError("bootstrap() must commit v0 before streaming")
-        if version in committed:
+        if int(batch_id) in self._applied_batch_ids():
             return  # failure replay of an already-applied batch
+        version = committed[-1] + 1
         if batch_df.isEmpty():
             os.makedirs(self._vdir(version), exist_ok=True)
+            open(
+                os.path.join(self._vdir(version), f"_BATCH_{int(batch_id)}"), "w"
+            ).close()
             self._commit(version)
             return
 
-        state_versions = [v for v in committed if v < version]
+        base = self._base_of(committed)
+        state_versions = [v for v in committed if v >= base]
         prev_conv = self._read_union("conversations", state_versions)
         prev_reps = self._read_union("representatives", state_versions)
         prev_post = self._read_union("postings", state_versions)
-        prev_idf = self.spark.read.parquet(f"{self._vdir(0)}/idf")
+        prev_idf = self.spark.read.parquet(f"{self._vdir(base)}/idf")
         prev_clusters = self.read_clusters()
 
         inc = incremental_update(
@@ -195,6 +252,7 @@ class StreamingER:
         )
         inc.new_postings.write.mode("overwrite").parquet(f"{vdir}/postings")
         inc.clusters.write.mode("overwrite").parquet(f"{vdir}/clusters")
+        open(os.path.join(vdir, f"_BATCH_{int(batch_id)}"), "w").close()
         self._commit(version)
 
     def attach(

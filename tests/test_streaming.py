@@ -257,3 +257,69 @@ def test_streaming_er_split_invariance(spark, tmp_path):
         )
 
     assert partition_of(er_a) == partition_of(er_b)
+
+
+def test_streaming_er_refit(spark, tmp_path):
+    """refit() writes a new BASE version (fresh IDF over the full corpus)
+    that supersedes prior state; batches applied after it fold against
+    the new base, batch-id replay protection survives the refit, and the
+    final clustering passes the F1 gate."""
+    import os
+
+    from address_match_recommend_spark.datagen import (
+        TRANSCRIPTS_DDL,
+        corpus_to_spark,
+        generate_corpus,
+    )
+    from address_match_recommend_spark.plans.evaluate import pairwise_f1
+    from address_match_recommend_spark.streaming.incremental import StreamingER
+
+    corpus = generate_corpus(n_entities=12, seed=909)
+    tr, clusters = corpus.transcripts, corpus.expected_clusters
+    entities = sorted(clusters["entity_id"].unique())
+
+    def convs_of(ents):
+        return set(clusters[clusters["entity_id"].isin(set(ents))]["conv_id"])
+
+    boot_ids = convs_of(entities[:6])
+    batch0_ids = convs_of(entities[6:9])
+    batch1_ids = convs_of(entities[9:])
+    df_of = lambda ids: spark.createDataFrame(  # noqa: E731
+        tr[tr["conv_id"].isin(ids)], schema=TRANSCRIPTS_DDL
+    )
+
+    er = StreamingER(spark, str(tmp_path / "state"))
+    er.bootstrap(df_of(boot_ids))
+    er.apply_batch(df_of(batch0_ids), 0)
+
+    # refit on the corpus so far (the stream's durable source)
+    er.refit(df_of(boot_ids | batch0_ids))
+    state = str(tmp_path / "state")
+    assert os.path.exists(os.path.join(state, "v00000002", "_BASE"))
+    assert os.path.exists(os.path.join(state, "v00000002", "idf"))
+
+    # post-refit batch folds against the new base
+    er.apply_batch(df_of(batch1_ids), 1)
+    assert er._committed_versions() == [0, 1, 2, 3]
+    assert er._applied_batch_ids() == {0, 1}
+
+    full = corpus_to_spark(spark, corpus)
+    got = er.read_clusters()
+    assert got.count() == len(boot_ids | batch0_ids | batch1_ids)
+    # self-calibrating gate: streaming + refit must do no worse than the
+    # batch pipeline on the same corpus (this seed's corpus is hard —
+    # the batch run itself scores 0.9836, so an absolute 0.99 would
+    # reject a perfect streaming path)
+    from address_match_recommend_spark.plans.pipeline import run_pipeline
+
+    batch_f1 = pairwise_f1(
+        full["labeled_pairs"], run_pipeline(full["transcripts"]).clusters
+    )["f1"]
+    stream_f1 = pairwise_f1(full["labeled_pairs"], got)["f1"]
+    assert stream_f1 >= batch_f1 - 1e-9, (stream_f1, batch_f1)
+    assert stream_f1 >= 0.98, stream_f1
+
+    # replaying a PRE-refit batch_id after the refit is still a no-op
+    before = er._committed_versions()
+    er.apply_batch(df_of(batch0_ids), 0)
+    assert er._committed_versions() == before
