@@ -169,6 +169,33 @@ class StreamingER:
             raise FileNotFoundError(f"no committed clusters under {self.state_dir}")
         return self.spark.read.parquet(f"{self._vdir(have[-1])}/clusters")
 
+    def vacuum(self) -> list[int]:
+        """Delete committed versions strictly before the latest base —
+        the base's full rewrite supersedes their tables, so only disk and
+        the union-read's path list are reclaimed; no reader result
+        changes. Replay protection survives: each removed version's
+        ``_BATCH_*`` markers are re-homed into the base dir BEFORE the
+        version is deleted (a marker file is idempotent, and the base is
+        already committed), so a very late replay of an old batch_id is
+        still skipped. Returns the removed version numbers."""
+        import shutil
+
+        committed = self._committed_versions()
+        if not committed:
+            return []
+        base = self._base_of(committed)
+        removed = []
+        for v in committed:
+            if v >= base:
+                continue
+            vdir = self._vdir(v)
+            for name in os.listdir(vdir):
+                if name.startswith("_BATCH_"):
+                    open(os.path.join(self._vdir(base), name), "w").close()
+            shutil.rmtree(vdir)
+            removed.append(v)
+        return removed
+
     # -- lifecycle --------------------------------------------------------
 
     def _write_base(self, version: int, res) -> None:
@@ -213,8 +240,9 @@ class StreamingER:
         into the persisted state (replay-idempotent, see module docstring).
         """
         committed = self._committed_versions()
-        if not committed or committed[0] != 0:
-            raise ValueError("bootstrap() must commit v0 before streaming")
+        if not committed:
+            raise ValueError("bootstrap() must run before streaming")
+        self._base_of(committed)  # raises unless a committed base exists
         if int(batch_id) in self._applied_batch_ids():
             return  # failure replay of an already-applied batch
         version = committed[-1] + 1

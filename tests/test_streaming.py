@@ -323,3 +323,12 @@ def test_streaming_er_refit(spark, tmp_path):
     before = er._committed_versions()
     er.apply_batch(df_of(batch0_ids), 0)
     assert er._committed_versions() == before
+
+    # vacuum drops versions superseded by the refit base; readers and
+    # replay protection are unaffected
+    assert er.vacuum() == [0, 1]
+    assert er._committed_versions() == [2, 3]
+    assert er._applied_batch_ids() == {0, 1}
+    assert pairwise_f1(full["labeled_pairs"], er.read_clusters())["f1"] == stream_f1
+    er.apply_batch(df_of(batch0_ids), 0)  # still a no-op after vacuum
+    assert er._committed_versions() == [2, 3]
