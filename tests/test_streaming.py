@@ -246,7 +246,9 @@ def test_streaming_er_split_invariance(spark, tmp_path):
         spark.createDataFrame(new_pdf, schema=TRANSCRIPTS_DDL), 0
     )
 
-    # run B: the same conversations split into THREE batches
+    # run B: the same conversations split into THREE batches (stride
+    # split — each batch holds ONE conversation per new entity, the
+    # split that exposed the unseen-token indexing recall bug)
     er_b = StreamingER(spark, str(tmp_path / "state_b"))
     er_b.bootstrap(old_tr)
     thirds = [set(new_convs[i::3]) for i in range(3)]
@@ -257,6 +259,30 @@ def test_streaming_er_split_invariance(spark, tmp_path):
         )
 
     assert partition_of(er_a) == partition_of(er_b)
+
+    # run C: per-record arrival — the first five conversations arrive as
+    # SINGLETON batches (the reference's per-record insert, ImportAddr,
+    # as the degenerate micro-batch split: no intra-batch pairing, every
+    # pair must form against persisted state), the rest in one batch.
+    # Five singletons span two new entities, so cross-singleton pairing
+    # is exercised; all 16 as singletons triples the test's wall for no
+    # extra coverage.
+    er_c = StreamingER(spark, str(tmp_path / "state_c"))
+    er_c.bootstrap(old_tr)
+    solo, rest = new_convs[:5], set(new_convs[5:])
+    for i, cid in enumerate(solo):
+        part = new_pdf[new_pdf["conv_id"] == cid]
+        er_c.apply_batch(
+            spark.createDataFrame(part, schema=TRANSCRIPTS_DDL), i
+        )
+    er_c.apply_batch(
+        spark.createDataFrame(
+            new_pdf[new_pdf["conv_id"].isin(rest)], schema=TRANSCRIPTS_DDL
+        ),
+        len(solo),
+    )
+
+    assert partition_of(er_a) == partition_of(er_c)
 
 
 def test_streaming_er_refit(spark, tmp_path):
