@@ -43,9 +43,16 @@ def postings(
     tokens (min_block_df ≤ df ≤ max_block_df), at most
     max_block_tokens_per_conv rarest tokens per conversation."""
     cfg = cfg or PipelineConfig()
+    # ``clamped`` (optional, plans/incremental.py): marks unseen tokens
+    # whose df was clamped UP into the blockable band. At equal df the
+    # budget window below prefers un-clamped tokens — genuinely shared
+    # vocabulary — over clamped singletons (ADVICE r4: clamped df-1
+    # tokens competing at df == min_block_df could displace true df-2
+    # blockable tokens from the per-conversation budget).
+    has_clamped = "clamped" in idf.columns
     blockable = idf.filter(
         (F.col("df") >= cfg.min_block_df) & (F.col("df") <= cfg.max_block_df)
-    ).select("token", "df")
+    ).select("token", "df", *(["clamped"] if has_clamped else []))
     # No forced broadcast: `blockable` is O(vocab) — tiny here, but a
     # heavy-tailed 10^12-turn vocabulary makes the df∈[2,200] band the
     # BULK of the vocab. AQE broadcasts automatically while it fits under
@@ -59,13 +66,17 @@ def postings(
     # entities, a likely loss at scale.)
     post = tokens.select("conv_id", "token").distinct().join(blockable, "token")
     if cfg.max_block_tokens_per_conv:
-        w = Window.partitionBy("conv_id").orderBy(F.asc("df"), F.asc("token"))
+        order = [F.asc("df")]
+        if has_clamped:
+            order.append(F.asc("clamped"))  # false (true df) sorts first
+        order.append(F.asc("token"))
+        w = Window.partitionBy("conv_id").orderBy(*order)
         post = (
             post.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= cfg.max_block_tokens_per_conv)
             .drop("rk")
         )
-    return post
+    return post.drop("clamped") if has_clamped else post
 
 
 def candidate_pairs(post: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

@@ -212,3 +212,25 @@ def test_single_salted_bypass_budget(spark):
     post2 = postings(tokens2, idf_table(tokens2, n, cfg_on), cfg_on)
     got2 = [tuple(r) for r in candidate_pairs(post2, cfg_on).collect()]
     assert ("c00", "c01") in got2
+
+
+def test_budget_prefers_true_df_over_clamped(spark):
+    """The per-conversation rarest-token budget breaks df ties AGAINST
+    clamped tokens (ADVICE r4): an unseen df-1 singleton clamped up to
+    min_block_df by the incremental path must not displace a genuinely
+    shared df-2 token. Chosen names make the WRONG outcome the
+    alphabetical tie-break: without the clamped ordering, orderBy(df,
+    token) keeps 'aaa_solo' and drops 'zzz_shared'."""
+    tokens = spark.createDataFrame(
+        [("c1", "aaa_solo"), ("c1", "zzz_shared"), ("c2", "zzz_shared")],
+        "conv_id string, token string",
+    )
+    idf = spark.createDataFrame(
+        [("aaa_solo", 2, 4.0, True), ("zzz_shared", 2, 4.0, False)],
+        "token string, df long, idf double, clamped boolean",
+    )
+    cfg = PipelineConfig(min_block_df=2, max_block_df=10, max_block_tokens_per_conv=1)
+    post = postings(tokens, idf, cfg)
+    assert "clamped" not in post.columns
+    kept_c1 = {r["token"] for r in post.filter(F.col("conv_id") == "c1").collect()}
+    assert kept_c1 == {"zzz_shared"}
