@@ -358,3 +358,134 @@ def test_streaming_er_refit(spark, tmp_path):
     assert pairwise_f1(full["labeled_pairs"], er.read_clusters())["f1"] == stream_f1
     er.apply_batch(df_of(batch0_ids), 0)  # still a no-op after vacuum
     assert er._committed_versions() == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Round 5: writer serialization, crash-debris slot cleanup, cluster deltas
+# ---------------------------------------------------------------------------
+
+_TR_DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _one_turn(spark, rows):
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    return spark.createDataFrame(
+        [(cid, 0, "user", text, "", ts) for cid, text in rows], _TR_DDL
+    )
+
+
+@pytest.fixture()
+def er_state(spark, tmp_path):
+    """Bootstrapped StreamingER over two exact-dup entities."""
+    from address_match_recommend_spark.streaming.incremental import StreamingER
+
+    er = StreamingER(spark, str(tmp_path / "state"), lock_timeout=2.0)
+    er.bootstrap(_one_turn(spark, [
+        ("o1", "alpha bravo charlie delta street"),
+        ("o2", "alpha bravo charlie delta street"),
+        ("o3", "echo foxtrot golf hotel avenue"),
+        ("o4", "echo foxtrot golf hotel avenue"),
+    ]))
+    return er
+
+
+def test_writer_lock_blocks_concurrent_writers(spark, er_state):
+    """ADVICE r4 (high): apply_batch/refit/vacuum serialize on an on-disk
+    lock — a second writer WAITS (then times out) instead of racing the
+    first into the same version slot; break_lock() recovers after a
+    writer crash."""
+    import os
+
+    er = er_state
+    os.mkdir(os.path.join(er.state_dir, "_LOCK"))  # a crashed writer's lock
+    batch = _one_turn(spark, [("x1", "alpha bravo charlie delta street")])
+    with pytest.raises(TimeoutError):
+        er.apply_batch(batch, 0)
+    assert er._committed_versions() == [0]  # nothing was written meanwhile
+    assert er.break_lock() is True
+    assert er.break_lock() is False  # idempotent: already released
+    er.apply_batch(batch, 0)
+    assert er._committed_versions() == [0, 1]
+    got = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    assert ("x1", "o1") in got
+
+
+def test_claim_slot_removes_crash_debris(spark, er_state):
+    """ADVICE r4 (medium): an UNCOMMITTED version dir left by a crash
+    between the _BATCH_k marker and _COMMIT must be deleted when the slot
+    is reused — otherwise an unrelated later write (e.g. a refit) commits
+    the stale marker and batch k's replay is skipped forever."""
+    import os
+
+    er = er_state
+    # crash debris: v1 carrying _BATCH_7, never committed
+    debris = er._vdir(1)
+    os.makedirs(debris)
+    open(os.path.join(debris, "_BATCH_7"), "w").close()
+    assert 7 not in er._applied_batch_ids()
+
+    # an unrelated refit reuses slot 1 — the stale marker must NOT survive
+    er.refit(_one_turn(spark, [
+        ("o1", "alpha bravo charlie delta street"),
+        ("o2", "alpha bravo charlie delta street"),
+        ("o3", "echo foxtrot golf hotel avenue"),
+        ("o4", "echo foxtrot golf hotel avenue"),
+    ]))
+    assert er._committed_versions() == [0, 1]
+    assert 7 not in er._applied_batch_ids()
+
+    # batch 7 still applies for real
+    er.apply_batch(
+        _one_turn(spark, [("x7", "echo foxtrot golf hotel avenue")]), 7
+    )
+    got = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    assert ("x7", "o3") in got
+
+
+def test_clusters_delta_subscription_reconstructs(spark, er_state):
+    """VERDICT r4 next #5: folding every version's clusters_delta(v) over
+    the base, in version order, reconstructs read_clusters() exactly —
+    the delta stream IS a lossless subscription surface. Per-batch deltas
+    stay O(batch + affected); an empty batch yields an empty delta."""
+    er = er_state
+    er.apply_batch(_one_turn(spark, [
+        ("x1", "alpha bravo charlie delta street"),  # joins {o1,o2}
+        ("x2", "lima mike november oscar road"),     # brand-new entity
+    ]), 0)
+    er.apply_batch(_one_turn(spark, [
+        ("x3", "lima mike november oscar road"),     # joins n2
+    ]), 1)
+    er.apply_batch(_one_turn(spark, []), 2)          # empty batch
+
+    versions = er._committed_versions()
+    assert versions == [0, 1, 2, 3]
+
+    overlay: dict[str, str] = {}
+    for v in versions:
+        delta = er.clusters_delta(v).collect()
+        if v == 1:
+            assert {(r["conv_id"], r["entity_id"]) for r in delta} == {
+                ("x1", "o1"), ("x2", "x2")
+            }
+        if v == 2:
+            assert {(r["conv_id"], r["entity_id"]) for r in delta} == {
+                ("x3", "x2")
+            }
+        if v == 3:
+            assert delta == []  # empty batch, empty delta
+        for r in delta:
+            overlay[r["conv_id"]] = r["entity_id"]
+
+    # v0 is the base: clusters_delta(0) returned its FULL clusters, so the
+    # fold reconstructs the whole table — byte-for-byte the read view
+    full = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    assert set(overlay.items()) == full
+    assert full == {
+        ("o1", "o1"), ("o2", "o1"), ("o3", "o3"), ("o4", "o3"),
+        ("x1", "o1"), ("x2", "x2"), ("x3", "x2"),
+    }
+    # uncommitted version numbers are refused
+    with pytest.raises(FileNotFoundError):
+        er.clusters_delta(99)
