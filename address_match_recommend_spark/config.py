@@ -42,6 +42,14 @@ class PipelineConfig:
     #: (reference MissingIdf, /root/reference/core/similarity.go:19)
     missing_idf: float = 4.0
     use_tf: bool = True  # reference uses idf-only weights (SURVEY §2.4 A6)
+    #: hint the IDF-dictionary join as a broadcast (the north-rule
+    #: mandate, and right while the O(vocab) table fits in executor
+    #: memory). On a corpus whose RAW vocabulary outgrows that — 10^12
+    #: turns of ids/hashes can push the token dictionary past executor
+    #: heap — set False: the weight join becomes a plain equi-join and
+    #: AQE picks broadcast vs shuffle from runtime stats (VERDICT r4
+    #: Missing #3; operators/tfidf.py).
+    broadcast_idf: bool = True
 
     # --- blocking (inverted index) ---
     #: tokens with document frequency above this never become blocking keys

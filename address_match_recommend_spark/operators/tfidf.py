@@ -104,9 +104,13 @@ def tfidf_vectors(
     # The IDF broadcast is a north-rule mandate ("broadcast of the IDF
     # dictionary"). Its size is O(vocab) — bounded in practice by the
     # token pattern (words, not ids) and by min-df pruning upstream; on a
-    # corpus whose raw vocabulary outgrows executor memory, drop this
-    # hint and AQE falls back to a shuffled join.
-    weighted = counts.join(F.broadcast(idf.select("token", "idf")), "token", "left")
+    # corpus whose raw vocabulary outgrows executor memory, set
+    # cfg.broadcast_idf=False and the hint is dropped — AQE then picks
+    # broadcast vs shuffled join from runtime stats (VERDICT r4 #3).
+    idf_side = idf.select("token", "idf")
+    if cfg.broadcast_idf:
+        idf_side = F.broadcast(idf_side)
+    weighted = counts.join(idf_side, "token", "left")
     # unseen tokens (scoring a corpus against a previously-fit IDF table)
     weighted = weighted.withColumn(
         "idf", F.coalesce(F.col("idf"), F.lit(float(cfg.missing_idf)))
