@@ -179,8 +179,9 @@ class PipelineConfig:
     #: tokens→idf→postings→pairs) from concurrent driver threads so
     #: their per-stage driver constants (planning + scheduling — the
     #: core-count-independent Amdahl term) overlap instead of summing;
-    #: tasks share slots via FAIR scheduler pools (session.py). Ignored
-    #: under a Checkpointer (its ledger appends must not race).
+    #: tasks share slots via FAIR scheduler pools (session.py). Works
+    #: under a durable Checkpointer too (round 5: per-stage ledger
+    #: subdirectories remove the append race).
     concurrent_stages: bool = True
     shuffle_partitions: int = 32
     #: repartition width for the pair-scoring stage; scale with cluster size

@@ -30,7 +30,17 @@ def test_checkpointed_pipeline_and_resume(spark, tiny_tables, tmp_path):
     ck1 = Checkpointer(spark, root, run_id="r1")
     res1 = run_pipeline(tiny_tables["transcripts"], checkpointer=ck1)
     clusters1 = _clusters_set(res1.clusters)
-    assert ck1.stages_run == STAGES
+    # round 5: concurrent_stages now runs under a Checkpointer, so the two
+    # post-tokenize branches (vectors | postings→candidate_pairs) complete
+    # in nondeterministic relative order — assert the SET of stages and the
+    # DAG constraints instead of one serialized order.
+    assert sorted(ck1.stages_run) == sorted(STAGES)
+    ran = {s: i for i, s in enumerate(ck1.stages_run)}
+    assert ran["conversations"] < ran["representatives"] < ran["idf"]
+    assert ran["idf"] < ran["vectors"]
+    assert ran["postings"] < ran["candidate_pairs"] < ran["scored_pairs"]
+    assert ran["vectors"] < ran["scored_pairs"]
+    assert ran["scored_pairs"] < ran["edges"] < ran["clusters"]
     assert not ck1.stages_resumed
 
     # lineage: ≥1 partition row per stage, rows sum to stage row count
@@ -86,7 +96,7 @@ def test_invalidate_cascades_downstream(spark, tiny_tables, tmp_path):
     ck2.invalidate("idf")  # cascade=True default
     res = run_pipeline(tiny_tables["transcripts"], checkpointer=ck2)
     i = STAGES.index("idf")
-    assert ck2.stages_run == STAGES[i:]
+    assert sorted(ck2.stages_run) == sorted(STAGES[i:])
     assert set(ck2.stages_resumed) == set(STAGES[:i])
     assert res.clusters.count() > 0
 
