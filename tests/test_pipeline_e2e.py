@@ -128,3 +128,24 @@ def test_reliable_checkpoint_pipeline(spark, tiny_tables, tmp_path):
     )
     rdd_dir = tmp_path / "_rdd"
     assert rdd_dir.exists() and any(os.scandir(rdd_dir))
+
+
+def test_pairwise_f1_by_key_is_bounded(spark, tiny_tables):
+    """VERDICT r4 nit (b): by_blocking_key aggregates per-key F1
+    DISTRIBUTED-side and collects only the max_keys WORST keys — never
+    one driver row per key. Global counts must be identical to the
+    unkeyed call."""
+    result = run_pipeline(tiny_tables["transcripts"])
+    plain = pairwise_f1(tiny_tables["labeled_pairs"], result.clusters)
+    keyed = pairwise_f1(
+        tiny_tables["labeled_pairs"], result.clusters,
+        by_blocking_key=True, max_keys=3,
+    )
+    for k in ("tp", "fp", "fn", "precision", "recall", "f1"):
+        assert keyed[k] == plain[k]
+    by_key = keyed["by_key"]
+    assert 0 < len(by_key) <= 3
+    # worst-first: per-key f1 ascending, every row carries its key + counts
+    f1s = [r["f1"] for r in by_key]
+    assert f1s == sorted(f1s)
+    assert all({"blocking_key", "tp", "fp", "fn", "f1"} <= set(r) for r in by_key)
