@@ -192,6 +192,66 @@ def _cpu_calibration(seconds: float = 2.0) -> float:
     return n / seconds
 
 
+def _wide_parity(k: int = 8, seconds: float = 2.0) -> dict:
+    """k-wide concurrency probe (round 5, VERDICT r4 next #7): the same
+    busy loop as ``_cpu_calibration`` run in k CONCURRENT processes;
+    ``parity`` = mean per-process iter/s under k-wide load / the solo
+    rate. The sandbox host sometimes delivers ~17% less per core under
+    sustained 8-wide load (BENCH/BASELINE.md, r4 0.619 postmortem),
+    hard-capping any 2→8 scaling ratio at ~0.83 that day regardless of
+    engine — this stamp lets every bench artifact carry the wide-load
+    ceiling alongside the single-thread calibration."""
+    import multiprocessing as mp
+
+    solo = _cpu_calibration(seconds)
+
+    def worker(q):
+        q.put(_cpu_calibration(seconds))
+
+    q: "mp.Queue" = mp.Queue()
+    procs = [mp.Process(target=worker, args=(q,)) for _ in range(k)]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in range(k)]
+    for p in procs:
+        p.join()
+    wide = sum(rates) / k
+    return {
+        "k": k,
+        "solo_ips": round(solo),
+        "wide_ips_mean": round(wide),
+        "parity": round(wide / solo, 3) if solo else 0.0,
+    }
+
+
+def _await_calm_window(
+    min_parity: float = 0.95,
+    min_calib: float = 6.5e6,
+    cap_s: int = 900,
+    poll_s: int = 60,
+) -> dict:
+    """Block (bounded) until the host shows BOTH a calm single-thread
+    calibration (≥ min_calib iter/s) and near-unity 8-wide per-core
+    parity (≥ min_parity) — the launch gate for scaling recordings
+    (VERDICT r4 next #2: the honest whole-job recordings kept absorbing
+    a host day-ceiling the gate now removes at LAUNCH, not in the
+    reporting). Returns the full probe log either way; ``calm`` says
+    whether the gate was met — a caller that never sees a calm window
+    commits the log as the recording's negative result."""
+    t0 = time.monotonic()
+    probes = []
+    while True:
+        p = _wide_parity()
+        p["t_offset_s"] = round(time.monotonic() - t0, 1)
+        p["loadavg"] = _loadavg1()
+        probes.append(p)
+        if p["solo_ips"] >= min_calib and p["parity"] >= min_parity:
+            return {"calm": True, "probes": probes}
+        if time.monotonic() - t0 >= cap_s:
+            return {"calm": False, "probes": probes}
+        time.sleep(poll_s)
+
+
 def run_er_scoring_timed(spark) -> dict:
     """Build the pipeline front-half (canonicalize → pairs) UNTIMED, then
     time the compute back-half: pair scoring + JW + edge build + connected
@@ -290,6 +350,10 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
     import __spark_entry__ as entrymod
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    # health banner BEFORE the JVM exists: solo calibration + 8-wide
+    # per-core parity, so every artifact records the host's wide-load
+    # ceiling (a 0.83-parity day caps any 2→8 ratio at ~0.83 engine-free)
+    wide_probe = _wide_parity()
     spark = get_spark(app_name=f"bench-{sf_name}", cores=CPUS)
 
     load_start = _loadavg1()
@@ -313,6 +377,8 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
             "calib_before": r["calib_before"],
             "calib_after": r["calib_after"],
             "loadavg_start": load_start,
+            "wide_parity_8": wide_probe["parity"],
+            "wide_probe": wide_probe,
         }))
         spark.stop()
         return
@@ -351,13 +417,16 @@ def main(er_only: bool = False, score_only: bool = False) -> None:
         "loadavg_end": _loadavg1(),
         "calib_start": calib_start,
         "calib_end": round(_cpu_calibration()),
+        "wide_parity_8": wide_probe["parity"],
+        "wide_probe": wide_probe,
     }
     print(json.dumps(out))
     spark.stop()
 
 
 def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
-            cores_pair: tuple[int, int] = (2, 8)) -> None:
+            cores_pair: tuple[int, int] = (2, 8),
+            calm_gate: bool = False) -> None:
     """Scaling-efficiency evidence (north rule, sandbox proxy for N vs 4N
     executors): the SAME job on the SAME pre-generated input at local[N]
     and local[4N] (default 2 vs 8 — see module docstring for the
@@ -380,6 +449,25 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
     import subprocess
 
     _refuse_if_loaded("scaling")
+    # Launch gate (round 5, --calm-gate): the whole-job proxy conflates
+    # engine scaling with the host's wide-load day-ceiling — recordings
+    # launched on a 0.83-parity day can never clear 0.8 regardless of
+    # engine. Gate the LAUNCH (never the reporting): require one calm
+    # window (solo calib ≥ 6.5M AND 8-wide parity ≥ 0.95) before the
+    # first epoch, re-probe before every epoch, and carry every probe in
+    # the output verbatim. If the host never goes calm within the cap,
+    # the probe log IS the (negative) result — print it and stop rather
+    # than record a contaminated row.
+    gate_log: dict | None = None
+    if calm_gate:
+        gate_log = _await_calm_window()
+        if not gate_log["calm"]:
+            print(json.dumps({
+                "scaling": None,
+                "calm_gate": gate_log,
+                "note": "no calm window within cap — recording not launched",
+            }))
+            return
     corpus_dir = ensure_corpus_parquet(
         n_entities, f"/tmp/amr_scaling_corpus_{n_entities}"
     )
@@ -387,9 +475,16 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
     metric_key = "er_scoring_stage" if stage else "er_pipeline"
     lo, hi = cores_pair
     runs: dict[int, list] = {lo: [], hi: []}
+    epoch_probes: list[dict] = []
     order = [lo, hi] * repeats  # interleaved: each level samples every epoch
     for cores in order:
         _settle_before_epoch()
+        if calm_gate:
+            # short re-probe per epoch (bounded — an epoch launched into
+            # a burst is visible in the log, the recording still runs)
+            ep = _await_calm_window(cap_s=240, poll_s=30)
+            ep["cores"] = cores
+            epoch_probes.append(ep)
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
@@ -453,6 +548,9 @@ def scaling(n_entities: int = 1200, repeats: int = 2, stage: bool = False,
             "efficiency_stage_composite": eff_comp,
             "all_runs_sec": {str(c): [r["value"] for r in rs] for c, rs in runs.items()},
         },
+        "calm_gate": (
+            {"launch": gate_log, "per_epoch": epoch_probes} if calm_gate else None
+        ),
         "runs": {str(k): v for k, v in results.items()},
     }))
 
@@ -464,9 +562,10 @@ if __name__ == "__main__":
     n_reps = int(reps[0].split("=")[1]) if reps else 2
     cp = [a for a in sys.argv if a.startswith("--cores=")]
     pair = tuple(int(x) for x in cp[0].split("=")[1].split(",")) if cp else (2, 8)
+    calm = "--calm-gate" in sys.argv
     if "--stage-scaling" in sys.argv:
-        scaling(n_ents, n_reps, stage=True, cores_pair=pair)
+        scaling(n_ents, n_reps, stage=True, cores_pair=pair, calm_gate=calm)
     elif "--scaling" in sys.argv:
-        scaling(n_ents, n_reps, cores_pair=pair)
+        scaling(n_ents, n_reps, cores_pair=pair, calm_gate=calm)
     else:
         main(er_only="--er-only" in sys.argv, score_only="--score-only" in sys.argv)
