@@ -244,34 +244,45 @@ class StreamingER:
     def read_clusters(self) -> DataFrame:
         """Latest committed clustering (one row per conversation):
         the base's full ``clusters`` overlaid with every later version's
-        ``clusters_delta``, latest version winning per conv_id. The READ
-        is O(corpus + Σ deltas); the per-batch WRITES stay O(affected).
-        On an Iceberg/Delta table the overlay is what MERGE INTO
-        maintains in place and this becomes a plain table read."""
+        ``clusters_delta``, latest version winning per conv_id.
+
+        Shuffle shape: latest-wins is resolved by a window over the
+        DELTAS ONLY (Σ deltas rows — O(affected-since-base), small), and
+        the O(corpus) base folds in with one left-anti join against the
+        resolved delta ids — broadcastable whenever the delta set fits,
+        i.e. the usual case between refits. Windowing base ∪ deltas
+        together would instead shuffle the full corpus on every state
+        read (once per micro-batch in apply_batch). On an Iceberg/Delta
+        table this overlay is what MERGE INTO maintains in place and
+        the method becomes a plain table read."""
         versions = self._committed_versions()
         base = self._base_of(versions)
-        frames = [
-            self.spark.read.parquet(f"{self._vdir(base)}/clusters")
-            .select("conv_id", "entity_id")
-            .withColumn("_v", F.lit(base))
-        ]
+        base_df = self.spark.read.parquet(
+            f"{self._vdir(base)}/clusters"
+        ).select("conv_id", "entity_id")
+        deltas = []
         for v in versions:
             p = f"{self._vdir(v)}/clusters_delta"
             if v > base and os.path.isdir(p):
-                frames.append(
+                deltas.append(
                     self.spark.read.parquet(p)
                     .select("conv_id", "entity_id")
                     .withColumn("_v", F.lit(v))
                 )
-        allv = frames[0]
-        for f in frames[1:]:
+        if not deltas:
+            return base_df
+        allv = deltas[0]
+        for f in deltas[1:]:
             allv = allv.unionByName(f)
         w = Window.partitionBy("conv_id").orderBy(F.desc("_v"))
-        return (
+        latest = (
             allv.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("conv_id", "entity_id")
         )
+        return base_df.join(
+            latest.select("conv_id"), "conv_id", "left_anti"
+        ).unionByName(latest)
 
     def clusters_delta(self, version: int) -> DataFrame:
         """Rows added or relabeled by ``version`` relative to the version
