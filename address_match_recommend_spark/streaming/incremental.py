@@ -25,6 +25,10 @@ Versioned, append-only; one version per applied micro-batch or refit::
         conversations/ representatives/ postings/ idf/ clusters/
         _BASE  _COMMIT    — supersedes everything before it
 
+``compact()`` writes the same base layout WITHOUT a pipeline re-run —
+the delta chain folded from stored state, IDF carried over — bounding
+the version chain between refits (run on a cadence, then ``vacuum``).
+
 - ``conversations`` / ``representatives`` / ``postings`` are per-batch
   DELTAS — reading state unions the committed versions, so a micro-batch
   writes O(batch), never O(corpus). (Production note: on an Iceberg/Delta
@@ -290,7 +294,9 @@ class StreamingER:
         scale (VERDICT r4 next #5): reading every version's delta in
         order reconstructs the full clustering without ever re-reading
         the whole table. A base version returns its full ``clusters``
-        (a refit may relabel anything); an empty-batch version returns an
+        (a refit may relabel anything; a ``compact()`` base relabels
+        nothing but returning its table keeps the fold lossless for a
+        consumer that joined after it); an empty-batch version returns an
         empty frame."""
         if version not in self._committed_versions():
             raise FileNotFoundError(
@@ -334,6 +340,55 @@ class StreamingER:
                 shutil.rmtree(vdir)
                 removed.append(v)
             return removed
+
+    def compact(self) -> int:
+        """Fold the committed delta chain into a NEW base version without
+        re-fitting the IDF, and return its version number (the current
+        base, unchanged, when there are no deltas to fold).
+
+        Between refits every micro-batch appends a version, so the chains
+        ``read_clusters`` overlays (Σ clusters_delta rows) and
+        ``_read_union`` unions (one parquet path per version) grow without
+        bound. ``refit()`` resets them but costs a full pipeline re-run
+        over the RAW corpus, which the caller must supply; compaction
+        needs only the stored state: the folded delta tables become the
+        new base's full tables, ``clusters`` is the current
+        ``read_clusters`` view materialized, and the IDF is carried over
+        from the previous base byte-for-byte — no vector changes, no
+        re-scoring, every reader result identical (tested). Run it on a
+        version-count cadence (e.g. every few hundred batches) and
+        ``vacuum()`` afterwards to reclaim the superseded versions; keep
+        ``refit()`` for its own cadence, dictionary drift. On an
+        Iceberg/Delta table this is snapshot compaction / MERGE
+        checkpointing — here it is the plain-parquet equivalent.
+
+        Serialized against apply_batch/refit/vacuum by the writer lock.
+        Replay markers are untouched: superseded versions stay committed
+        (still scanned by ``_applied_batch_ids``) until ``vacuum`` re-homes
+        their ``_BATCH_*`` markers into this base."""
+        with self._writer_lock():
+            committed = self._committed_versions()
+            if not committed:
+                raise ValueError("bootstrap() must commit v0 before compact")
+            base = self._base_of(committed)
+            state_versions = [v for v in committed if v >= base]
+            if state_versions == [base]:
+                return base  # nothing to fold
+            version = self._claim_slot()
+            vdir = self._vdir(version)
+            for table in _DELTA_TABLES:
+                self._read_union(table, state_versions).write.mode(
+                    "overwrite"
+                ).parquet(f"{vdir}/{table}")
+            self.spark.read.parquet(f"{self._vdir(base)}/idf").write.mode(
+                "overwrite"
+            ).parquet(f"{vdir}/idf")
+            self.read_clusters().write.mode("overwrite").parquet(
+                f"{vdir}/clusters"
+            )
+            open(os.path.join(vdir, "_BASE"), "w").close()
+            self._commit(version)
+            return version
 
     # -- lifecycle --------------------------------------------------------
 

@@ -489,3 +489,56 @@ def test_clusters_delta_subscription_reconstructs(spark, er_state):
     # uncommitted version numbers are refused
     with pytest.raises(FileNotFoundError):
         er.clusters_delta(99)
+
+
+def test_compact_folds_chain_into_new_base(spark, er_state):
+    """compact() bounds the delta chain between refits: it folds the
+    committed versions into a new BASE from stored state only (no raw
+    corpus, IDF carried over byte-for-byte), leaving every reader result
+    identical; vacuum() then reclaims the superseded versions with batch
+    replay protection intact."""
+    er = er_state
+    er.apply_batch(_one_turn(spark, [
+        ("x1", "alpha bravo charlie delta street"),  # joins {o1,o2}
+        ("x2", "lima mike november oscar road"),     # brand-new entity
+    ]), 0)
+    er.apply_batch(_one_turn(spark, [
+        ("x3", "lima mike november oscar road"),     # joins x2
+    ]), 1)
+
+    before = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    idf_before = {(r["token"], r["idf"]) for r in
+                  spark.read.parquet(er._vdir(0) + "/idf").collect()}
+
+    v = er.compact()
+    assert v == 3
+    assert er._base_of(er._committed_versions()) == 3
+    # every reader result identical; the overlay chain is now one version
+    after = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    assert after == before
+    # IDF carried over, NOT refit
+    idf_after = {(r["token"], r["idf"]) for r in
+                 spark.read.parquet(er._vdir(3) + "/idf").collect()}
+    assert idf_after == idf_before
+    # folded delta tables equal the pre-compact union view
+    for table in ("conversations", "representatives", "postings"):
+        folded = spark.read.parquet(er._vdir(3) + "/" + table)
+        old = er._read_union(table, [0, 1, 2])
+        assert folded.count() == old.count()
+        assert folded.exceptAll(old).isEmpty()
+    # idempotent: nothing to fold right after a compact
+    assert er.compact() == 3
+
+    # vacuum reclaims everything before the new base; replay still skipped
+    assert er.vacuum() == [0, 1, 2]
+    assert er._applied_batch_ids() == {0, 1}
+    n_versions = len(er._committed_versions())
+    er.apply_batch(_one_turn(spark, [("zz", "zulu yankee xray")]), 1)  # replay
+    assert len(er._committed_versions()) == n_versions  # skipped, no write
+
+    # a post-compact batch folds against the compacted base
+    er.apply_batch(_one_turn(spark, [
+        ("x4", "echo foxtrot golf hotel avenue"),     # joins {o3,o4}
+    ]), 2)
+    got = {(r["conv_id"], r["entity_id"]) for r in er.read_clusters().collect()}
+    assert got == before | {("x4", "o3")}
