@@ -42,6 +42,25 @@ class PipelineConfig:
     #: (reference MissingIdf, /root/reference/core/similarity.go:19)
     missing_idf: float = 4.0
     use_tf: bool = True  # reference uses idf-only weights (SURVEY §2.4 A6)
+    #: replace the token STRING with xxhash64(token) — an opaque int64
+    #: feature id — right after tokenization in run_pipeline, before any
+    #: shuffle carries the ~200×-exploded token stream. From that point
+    #: the token is a pure join/group key (idf's distinct, vectors'
+    #: groupBy + map keys, postings, the pair self-join, the scorer's
+    #: exploded-vector equi-join), so identity is all that matters:
+    #: a fixed-width long shuffles, hashes, and compares cheaper than a
+    #: variable-length UTF8 string, and at 10^12 turns the token stream's
+    #: shuffle payload — the memory-bandwidth/network-bound fraction the
+    #: r5 scaling recordings named — shrinks by the per-row string
+    #: overhead. Feature-identity collisions merge two vocab entries at
+    #: ~|V|²/2⁶⁵ odds (≪1 even at 10⁹ vocab) and could only perturb IDF
+    #: weights, never conv identity. run_pipeline keeps strings when
+    #: cfg.use_coord_density is on (that parity mode reads token TEXT
+    #: off the vec keys to split text from typed terms); the incremental
+    #: updater follows whatever key domain the bootstrap state carries
+    #: (plans/incremental.py hashes each batch's tokens iff prev_idf is
+    #: long-keyed), so versioned streaming state stays self-consistent.
+    hash_token_features: bool = True
     #: hint the IDF-dictionary join as a broadcast (the north-rule
     #: mandate, and right while the O(vocab) table fits in executor
     #: memory). On a corpus whose RAW vocabulary outgrows that — 10^12

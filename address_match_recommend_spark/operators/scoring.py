@@ -128,6 +128,14 @@ def score_pairs(
         from .structure import NTURNS_EXACT_BOOST, nearmiss_boost, nturns_bucket
 
         ntok = F.concat(F.lit("nturns:"), nturns_bucket(F.col("n_turns")))
+        # under cfg.hash_token_features the vec map is keyed by
+        # xxhash64(token) (int64 feature ids, plans/pipeline.py) — hash
+        # the reconstructed nturns token the same way so the lookup key
+        # matches the map's key domain
+        from pyspark.sql.types import LongType
+
+        if isinstance(vectors.schema["vec"].dataType.keyType, LongType):
+            ntok = F.xxhash64(ntok)
         side = vectors.join(
             conversations.select("conv_id", "n_turns"), "conv_id"
         ).select(

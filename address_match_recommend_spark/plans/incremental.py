@@ -126,7 +126,23 @@ def incremental_update(
 
     # 3. tokenize new reps; weight with the existing (broadcast) IDF —
     #    unseen tokens take cfg.missing_idf inside tfidf_vectors
-    new_tokens = explode_tokens(new_reps, cfg).persist()
+    # Follow the bootstrap state's token-key domain: a pipeline run under
+    # cfg.hash_token_features leaves prev_idf/prev_postings keyed by
+    # xxhash64(token) (int64 feature ids, plans/pipeline.py) — hash every
+    # token stream this updater derives (the batch's AND the re-exploded
+    # old-partner side below) identically, so all joins against prior
+    # state stay type- and identity-consistent whatever cfg the bootstrap
+    # used.
+    from pyspark.sql.types import LongType
+
+    state_hashed = isinstance(prev_idf.schema["token"].dataType, LongType)
+
+    def _domain(tok: DataFrame) -> DataFrame:
+        return (
+            tok.withColumn("token", F.xxhash64("token")) if state_hashed else tok
+        )
+
+    new_tokens = _domain(explode_tokens(new_reps, cfg)).persist()
     new_tokens.count()
     new_vectors = tfidf_vectors(new_tokens, prev_idf, cfg)
 
@@ -215,8 +231,10 @@ def incremental_update(
         .distinct()
         .join(new_reps.select("conv_id"), "conv_id", "left_anti")
     )
-    old_partner_tokens = explode_tokens(
-        prev_representatives.join(partner_ids, "conv_id", "left_semi"), cfg
+    old_partner_tokens = _domain(
+        explode_tokens(
+            prev_representatives.join(partner_ids, "conv_id", "left_semi"), cfg
+        )
     )
     old_vectors = tfidf_vectors(old_partner_tokens, prev_idf, cfg)
     vectors = new_vectors.unionByName(old_vectors).persist()

@@ -218,6 +218,13 @@ def run_pipeline(
         tokens = boost_weights(tokens_with_structure(reps, cfg))
     else:
         tokens = explode_tokens(reps, cfg)
+    if cfg.hash_token_features and not cfg.use_coord_density:
+        # int64 feature ids (see config.hash_token_features): downstream
+        # of tokenization the token is an opaque join/group key, so the
+        # exploded stream shuffles fixed-width longs instead of UTF8
+        # strings. coord_density parity mode keeps strings — its is_text
+        # split reads token text off the vec keys (operators/scoring.py).
+        tokens = tokens.withColumn("token", F.xxhash64("token"))
     if checkpointer is None and cfg.materialize_tokens:
         # Opt-in only (cfg.materialize_tokens): checkpointing the ~200×
         # exploded stream is a bandwidth-bound block write that no core

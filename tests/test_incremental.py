@@ -190,7 +190,11 @@ def test_unseen_hot_token_capped_by_cumulative_df(spark):
     its posting list without bound."""
     from address_match_recommend_spark.config import PipelineConfig
 
-    cfg = PipelineConfig(max_block_df=3, min_shared_tokens=1)
+    # string token domain: the assertions below look up tokens by TEXT in
+    # the bootstrap state (hash_token_features would store xxhash64 ids)
+    cfg = PipelineConfig(
+        max_block_df=3, min_shared_tokens=1, hash_token_features=False
+    )
     old = _tr(spark, [
         ("o1", "quiet corpus seed one"),
         ("o2", "quiet corpus seed two"),
