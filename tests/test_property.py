@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -261,3 +262,43 @@ def test_candidate_pairs_equals_model(spark, docs, min_shared):
             if shared and len(shared) >= cfg.min_shared_tokens:
                 expect.add((a, b))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=40,
+            ),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=40,
+            ),
+        ),
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_batch_equals_scalar(pairs):
+    """The batch-vectorized JW kernel (sentinel consumption + uint8
+    narrowing + uniform-window fast path) is the SAME function as the
+    scalar reference on arbitrary unicode, including the sentinel-
+    adjacent code points, empty strings, and mixed-length batches that
+    exercise the non-uniform window path."""
+    from address_match_recommend_spark.functions.jaro_winkler import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    pairs = pairs + [
+        ("", ""), ("a", ""), ("abc", "abc"), ("\xfe\xff x", "\xff\xfe y"),
+        ("a" * 500, "a" * 30), ("日本語テスト", "日本語のテスト"),
+    ]
+    got = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == pytest.approx(jaro_winkler(a, b), abs=1e-12)
